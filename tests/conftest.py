@@ -1,0 +1,16 @@
+"""Test config: run on CPU with 8 virtual devices so multi-chip sharding paths
+are exercised without TPU hardware (the driver separately dry-runs them)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REFERENCE = "/root/reference"
+
+
+def reference_path(*parts):
+    return os.path.join(REFERENCE, *parts)
