@@ -1,0 +1,219 @@
+"""text-predict: train a char-level LM on a text corpus.
+
+TPU rebuild of the reference CLI (text-predict.c); option names and defaults
+follow text-predict.c:44-108.  The big behavioural extension is --multi-tap:
+on TPU many taps are nearly free (they batch into the MXU), so the effective
+default for speed is a few hundred streams, but the reference default (single
+tap) is preserved.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from recur_tpu import nn
+from recur_tpu.models.alphabet import (
+    Alphabet, Metadata, check_metadata, construct_net_filename)
+from recur_tpu.models.charmodel import CharModel, Schedule, Ventropy
+from recur_tpu.nn import Activation, Flag, InitDistribution, InitMethod, LearningMethod
+from recur_tpu.ops import init as winit
+from recur_tpu.utils.kvlog import KvLog
+
+DEFAULT_CHARSET = "8 etaonihsrdlucmwfygpb,v.k-;x\"qj'?:z)(_!*&"
+DEFAULT_COLLAPSE_CHARS = "10872}{659/34][@"
+DEFAULT_TEXT = "/root/reference/test-images/erewhon.txt"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="text-predict", description=__doc__)
+    a = p.add_argument
+    a("--text", default=DEFAULT_TEXT, help="text file to learn")
+    a("--alphabet", default=DEFAULT_CHARSET)
+    a("--collapse-chars", default=DEFAULT_COLLAPSE_CHARS)
+    a("--find-alphabet-threshold", type=float, default=0.0,
+      help="if set, discover the alphabet from the text")
+    a("--find-alphabet-digit-adjust", type=float, default=1.0)
+    a("--find-alphabet-alpha-adjust", type=float, default=1.0)
+    a("--case-sensitive", action="store_true")
+    a("--utf8", action="store_true")
+    a("--no-collapse-space", action="store_true")
+    a("--hidden-size", type=int, default=199)
+    a("--depth", type=int, default=30, help="BPTT depth")
+    a("--learn-rate", type=float, default=0.001)
+    a("--learn-rate-min", type=float, default=0.0)
+    a("--learn-rate-inertia", type=int, default=0)
+    a("--learn-rate-scale", type=float, default=0.5)
+    a("--momentum", type=float, default=0.95)
+    a("--momentum-weight", type=float, default=nn.RNN_MOMENTUM_WEIGHT)
+    a("--momentum-soft-start", type=float, default=0.0)
+    a("--learning-style", type=int, default=0,
+      help="0 weighted, 1 nesterov, 2 simplified nesterov, 3 classical, "
+           "4 adagrad, 5 adadelta, 6 rprop")
+    a("--activation", type=int, default=1, help="1 ReLU, 2 ReSQRT, 5 clip20")
+    a("--adagrad-ballast", type=float, default=200.0)
+    a("--adadelta-ballast", type=float, default=0.0)
+    a("--no-adaptive-min", action="store_true")
+    a("--batch-size", type=int, default=1)
+    a("--multi-tap", type=int, default=0, help="number of parallel taps")
+    a("--presynaptic-noise", type=float, default=0.0)
+    a("--rng-seed", type=int, default=1)
+    a("--stop-after", type=int, default=0)
+    a("--start-epochs", type=int, default=0)
+    a("--validate-chars", type=int, default=0)
+    a("--validation-overlap", type=int, default=1)
+    a("--confab-size", type=int, default=80)
+    a("--confab-bias", type=float, default=0.0)
+    a("--basename", default="text")
+    a("--log-file", default="text.log")
+    a("--filename", default=None, help="explicit net filename")
+    a("--reload", action="store_true")
+    a("--force-metadata", action="store_true")
+    a("--init-method", type=int, default=int(InitMethod.FLAT))
+    a("--init-submethod", type=int, default=int(InitMethod.FLAT))
+    a("--flat-init-distribution", type=int,
+      default=int(InitDistribution.SEMICIRCLE))
+    a("--init-variance", type=float, default=-1.0)
+    a("--init-weight-scale", type=float, default=0.0)
+    a("--perforate-weights", type=float, default=0.0)
+    a("--periodic-weight-noise", type=float, default=0.0)
+    a("--report-interval", type=int, default=1024)
+    a("--no-save-net", action="store_true")
+    a("--diagonal-only-section", type=int, default=0)
+    a("--diagonal-only-friends", type=int, default=0)
+    a("--bottom-layer", type=int, default=0)
+    a("--top-learn-rate-scale", type=float, default=1.0)
+    a("--bottom-learn-rate-scale", type=float, default=1.0)
+    a("--quiet", "-q", action="count", default=0)
+    a("--epochs", type=int, default=0, help="0 = run forever / stop-after")
+    return p
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+
+    with open(opt.text, "rb") as f:
+        raw = f.read()
+
+    case_insensitive = not opt.case_sensitive
+    collapse_space = not opt.no_collapse_space
+    if opt.find_alphabet_threshold:
+        alphabet = Alphabet.find(
+            raw, threshold=opt.find_alphabet_threshold,
+            digit_adjust=opt.find_alphabet_digit_adjust,
+            alpha_adjust=opt.find_alphabet_alpha_adjust,
+            case_insensitive=case_insensitive, utf8=opt.utf8,
+            collapse_space=collapse_space)
+    else:
+        alphabet = Alphabet.from_chars(
+            opt.alphabet, opt.collapse_chars,
+            case_insensitive=case_insensitive, utf8=opt.utf8,
+            collapse_space=collapse_space)
+    n_chars = len(alphabet)
+    meta = Metadata.from_alphabet(alphabet)
+    filename = opt.filename or construct_net_filename(
+        meta, opt.basename, n_chars, opt.bottom_layer, opt.hidden_size,
+        n_chars)
+
+    flags = Flag.STANDARD
+    if not opt.no_adaptive_min:
+        flags |= Flag.BPTT_ADAPTIVE_MIN_ERROR
+    style = LearningMethod(opt.learning_style)
+    if style in (LearningMethod.ADADELTA, LearningMethod.RPROP):
+        flags |= Flag.AUX_ARRAYS
+
+    net = None
+    if opt.reload and os.path.exists(filename):
+        net = nn.load_net(filename)
+        if opt.quiet < 1:
+            print(f"reloaded {filename} at generation {net.generation}",
+                  file=sys.stderr)
+        meta, net.metadata = check_metadata(
+            net.metadata, meta, trust_file_metadata=bool(opt.filename),
+            force_metadata=opt.force_metadata)
+        alphabet = meta.to_alphabet()
+    if net is None:
+        net = nn.new_net(n_chars, opt.hidden_size, n_chars, flags=flags,
+                         rng_seed=opt.rng_seed, depth=opt.depth,
+                         learn_rate=opt.learn_rate, momentum=opt.momentum,
+                         presynaptic_noise=opt.presynaptic_noise,
+                         activation=Activation(opt.activation),
+                         bottom_input_size=0,
+                         metadata=meta.construct())
+        p = winit.default_init_params(net.cfg)
+        p.method = InitMethod(opt.init_method)
+        p.submethod = InitMethod(opt.init_submethod)
+        p.flat_shape = InitDistribution(opt.flat_init_distribution)
+        if opt.init_variance > 0:
+            p.flat_variance = opt.init_variance
+        winit.randomise_weights(net, p)
+        if opt.init_weight_scale:
+            winit.scale_initial_weights(net, opt.init_weight_scale)
+        if opt.perforate_weights:
+            winit.perforate_weights(net, opt.perforate_weights)
+    net.ho_scale = opt.top_learn_rate_scale
+
+    text = alphabet.encode(raw)
+    if opt.validate_chars > 2:
+        v_text = text[-opt.validate_chars:]
+        text = text[:-opt.validate_chars]
+    else:
+        v_text = np.array([], dtype=np.uint8)
+
+    if opt.diagonal_only_section:
+        winit.clear_diagonal_only_section(net, opt.diagonal_only_section,
+                                          opt.diagonal_only_friends)
+
+    n_streams = max(opt.multi_tap, 1)
+    log = KvLog(opt.log_file)
+    model = CharModel(net, alphabet, n_streams=n_streams,
+                      learning_style=style, batch_size=opt.batch_size,
+                      momentum_soft_start=opt.momentum_soft_start,
+                      report_interval=opt.report_interval,
+                      save_net=not opt.no_save_net, filename=filename,
+                      periodic_weight_noise=opt.periodic_weight_noise,
+                      log=log, seed=opt.rng_seed)
+    if style == LearningMethod.ADAGRAD and opt.adagrad_ballast:
+        import dataclasses
+        import jax.numpy as jnp
+        model.bptt = dataclasses.replace(
+            model.bptt,
+            ih_momentum=jnp.full_like(model.bptt.ih_momentum,
+                                      opt.adagrad_ballast),
+            ho_momentum=jnp.full_like(model.bptt.ho_momentum,
+                                      opt.adagrad_ballast))
+    if opt.learn_rate_inertia:
+        model.schedule = Schedule(opt.learn_rate_inertia, opt.learn_rate_min,
+                                  opt.learn_rate_scale)
+    vent = Ventropy(net.cfg, v_text.astype(np.int32),
+                    lap=opt.validation_overlap) if len(v_text) else None
+
+    if opt.quiet < 1:
+        print(f"alphabet ({n_chars}): »{alphabet.points_string()}«",
+              file=sys.stderr)
+        print(f"net: i{n_chars} h{opt.hidden_size} o{n_chars} "
+              f"taps {n_streams}; saving to {filename}", file=sys.stderr)
+
+    epoch = 0
+    while True:
+        epoch += 1
+        finished = model.epoch(text, ventropy=vent, stop=opt.stop_after,
+                               confab_size=opt.confab_size,
+                               confab_bias=opt.confab_bias,
+                               quietness=opt.quiet)
+        if finished or (opt.epochs and epoch >= opt.epochs):
+            break
+        if not opt.stop_after and not opt.epochs:
+            continue
+    model.save(filename, backup=True)
+    if opt.quiet < 2:
+        print(f"saved {filename} at generation {model.generation}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

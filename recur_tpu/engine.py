@@ -1,0 +1,210 @@
+"""Jitted training engine: compose forward + BPTT + optimizer + conditioning
+into a single step, and scan it over time.
+
+This replaces the reference's per-character hot loop (rnn_char_epoch,
+charmodel-predict.c:260-405; SURVEY.md §3.1): one traced `step` handles all S
+streams at once (the synchronic mini-batch), `lax.scan` runs it over a chunk
+of T characters, and the whole chunk is one XLA program — no host round trips
+inside the loop.
+
+Learning-rate/momentum/noise are traced scalars inside BpttState, so live
+property changes (the reference's GObject set_property path) are plain array
+updates, never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu.nn import (
+    BpttState,
+    Flag,
+    LearningMethod,
+    RnnConfig,
+    RnnParams,
+    RnnState,
+)
+from recur_tpu.ops.core import (
+    advance_history,
+    calc_deltas,
+    capped_log2,
+    forward_step,
+    softmax_best_guess_error,
+)
+from recur_tpu.ops.conditioning import condition_net
+from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
+
+
+class StepStats(NamedTuple):
+    error: jax.Array       # [S] training error (1 - p_target)
+    entropy: jax.Array     # [S] -log2 p_target contribution
+    correct: jax.Array     # [S] winner == target
+    depth: jax.Array       # [S] effective BPTT depth used
+    ih_scale: jax.Array    # [S]
+    top_error: jax.Array   # [S]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyper:
+    """Static training options (hashable; part of the jit key)."""
+    learning_style: LearningMethod = LearningMethod.MOMENTUM_WEIGHTED
+    momentum_soft_start: float = 0.0
+    batch_size: int = 1          # diachronic gradient accumulation period
+    use_noise: bool = False      # presynaptic noise on/off (static)
+    bottom_learn_rate_scale: float = 1.0
+    # whether to run the conditioning cycle each step.  The reference's
+    # multi-tap char path skips it (charmodel-predict.c:288-312); the
+    # single-tap path (rnn_bptt_calculate) and gstclassify run it.
+    condition: bool = True
+
+
+def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
+                    params: RnnParams, bptt: BpttState, state: RnnState,
+                    x_tok: jax.Array, y_tok: jax.Array, key: jax.Array,
+                    momentum_target: jax.Array, presynaptic_noise: jax.Array,
+                    ):
+    """One character across S streams: forward, error, BPTT, weight update.
+
+    Equivalent to the multi-tap inner loop of rnn_char_epoch
+    (charmodel-predict.c:288-312) with rnn_apply_learning once per step.
+    """
+    S = x_tok.shape[0]
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+    nk, ck = jax.random.split(key)
+    fwd = forward_step(cfg, params, state.hidden, x,
+                       noise_key=nk if hyper.use_noise else None,
+                       presynaptic_noise=presynaptic_noise)
+    state = advance_history(state, fwd.input_row)
+    state = RnnState(hidden=fwd.hidden, history=state.history,
+                     head=state.head)
+
+    o_error, winner, p_target = softmax_best_guess_error(
+        fwd.output[:, :cfg.output_size], y_tok)
+    # pad o_error back to o_size
+    o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
+
+    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+                    bptt.min_error_factor, bptt.learn_rate)
+
+    gen = bptt.generation + 1
+    if hyper.batch_size > 1:
+        # diachronic accumulation (recur-nn.c:980-997)
+        ih_acc = bptt.ih_delta + d.ih_delta
+        ho_acc = bptt.ho_delta + d.ho_delta
+        b_acc = (bptt.bottom_delta + d.bottom_delta
+                 if d.bottom_delta is not None else bptt.bottom_delta)
+        apply_now = (gen % hyper.batch_size) == 0
+
+        def do_apply(args):
+            params, bptt = args
+            p2, b2 = apply_learning(cfg, params, bptt, ih_acc, ho_acc, b_acc,
+                                    hyper.learning_style, momentum,
+                                    hyper.bottom_learn_rate_scale)
+            b2 = dataclasses.replace(
+                b2, ih_delta=jnp.zeros_like(ih_acc),
+                ho_delta=jnp.zeros_like(ho_acc),
+                bottom_delta=(jnp.zeros_like(b_acc)
+                              if b_acc is not None else None))
+            return p2, b2
+
+        def no_apply(args):
+            params, bptt = args
+            b2 = dataclasses.replace(
+                bptt, ih_delta=ih_acc, ho_delta=ho_acc, bottom_delta=b_acc)
+            return params, b2
+
+        params, bptt = jax.lax.cond(apply_now, do_apply, no_apply,
+                                    (params, bptt))
+    else:
+        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                      d.ho_delta, d.bottom_delta,
+                                      hyper.learning_style, momentum,
+                                      hyper.bottom_learn_rate_scale)
+    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               generation=gen)
+    if hyper.condition:
+        params, bptt = condition_net(cfg, params, bptt, ck)
+
+    stats = StepStats(
+        error=1.0 - p_target,
+        entropy=-capped_log2(p_target),
+        correct=(winner == y_tok).astype(jnp.float32),
+        depth=d.stats["depth"],
+        ih_scale=d.stats["ih_scale"],
+        top_error=d.stats["top_error_scaled"],
+    )
+    return params, bptt, state, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def char_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
+                     params: RnnParams, bptt: BpttState, state: RnnState,
+                     tokens: jax.Array, key: jax.Array,
+                     momentum_target: jax.Array,
+                     presynaptic_noise: jax.Array):
+    """Train on a [S, T+1] token block: scan char_train_step over T steps.
+
+    tokens[s, t] is input at step t; tokens[s, t+1] is its target.
+    Returns (params, bptt, state, summed_stats) — stats are summed over steps
+    and streams, ready for the report-interval accumulators.
+    """
+    S, T1 = tokens.shape
+    T = T1 - 1
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)   # [T, S]
+    ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
+    keys = jax.random.split(key, T)
+
+    def body(carry, inp):
+        params, bptt, state = carry
+        x_tok, y_tok, k = inp
+        params, bptt, state, stats = char_train_step(
+            cfg, hyper, params, bptt, state, x_tok, y_tok, k,
+            momentum_target, presynaptic_noise)
+        summed = jax.tree.map(jnp.sum, stats)
+        return (params, bptt, state), summed
+
+    (params, bptt, state), stats = jax.lax.scan(
+        body, (params, bptt, state), (xs, ys, keys))
+    totals = jax.tree.map(jnp.sum, stats)
+    return params, bptt, state, totals
+
+
+@partial(jax.jit, static_argnums=(0,))
+def char_forward_seq(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
+                     tokens: jax.Array):
+    """Stateless forward over a token sequence (no training): returns final
+    hidden and all output logits.  hidden: [S, h_size]; tokens: [S, T]."""
+    xs = jnp.moveaxis(tokens, 1, 0)
+
+    def body(h, x_tok):
+        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, h, x)
+        return fwd.hidden, fwd.output
+
+    hidden, outs = jax.lax.scan(body, hidden, xs)
+    return hidden, jnp.moveaxis(outs, 0, 1)   # [S, T, o_size]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def char_cross_entropy_seq(cfg: RnnConfig, params: RnnParams,
+                           hidden: jax.Array, tokens: jax.Array,
+                           skip: int):
+    """get_cross_entropy (charmodel-predict.c:62-80): mean -log2 p(next char)
+    over a sequence, skipping the first `skip` predictions.  tokens: [S, T]."""
+    S, T = tokens.shape
+    hidden, outs = char_forward_seq(cfg, params, hidden, tokens[:, :-1])
+    logits = outs[:, :, :cfg.output_size]
+    logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
+    tgt = tokens[:, 1:]
+    p2 = jnp.take_along_axis(logp2, tgt[:, :, None], axis=-1)[:, :, 0]
+    p2 = jnp.maximum(p2, -100.0)
+    mask = (jnp.arange(T - 1) >= skip).astype(jnp.float32)
+    ent = -(p2 * mask).sum(axis=1) / mask.sum()
+    return hidden, ent

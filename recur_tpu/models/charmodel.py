@@ -1,0 +1,335 @@
+"""Char-level language model training: the TPU equivalent of
+charmodel-predict.c.
+
+The reference's per-character hot loop trains N weight-sharing "taps" reading
+one text at spaced offsets (charmodel-predict.c:272-311).  Here the taps are
+the stream axis: a [S, T+1] token block per report interval is one jitted
+scan (engine.char_train_chunk), so a whole report interval runs on-device
+with no host round-trips.
+
+Ventropy, the adaptive learn-rate schedule, confabulation and the key-value
+log keep the reference's exact semantics (and log key names, so ./plot works
+unchanged).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import nn
+from recur_tpu import engine
+from recur_tpu.engine import TrainHyper
+from recur_tpu.models.alphabet import Alphabet
+from recur_tpu.nn import LearningMethod, Net
+from recur_tpu.ops.core import biased_softmax, forward_step
+from recur_tpu.ops.conditioning import weight_noise
+from recur_tpu.utils.kvlog import KvLog
+
+
+class Schedule:
+    """Adaptive learn-rate schedule (rnn_char_init_schedule + eval_simple,
+    charmodel-predict.c:82-135): drop the learn rate by learn_rate_mul when
+    the validation entropy stops beating a random sample of recent scores."""
+
+    def __init__(self, recent_len: int = 0, learn_rate_min: float = 1e-9,
+                 learn_rate_mul: float = 0.7, adjust_noise: bool = False):
+        self.recent = [1e10] * recent_len
+        self.recent_len = recent_len
+        self.timeout = recent_len
+        self.learn_rate_min = learn_rate_min
+        self.learn_rate_mul = learn_rate_mul
+        self.adjust_noise = adjust_noise
+
+    def eval(self, model: "CharModel", score: float, verbose: bool = False):
+        if self.recent_len == 0 or model.learn_rate <= self.learn_rate_min:
+            return
+        sample_size = self.recent_len // 3
+        i = model.net.rng.rand_small_int(self.recent_len)
+        self.recent[i] = score
+        if self.timeout:
+            self.timeout -= 1
+            return
+        i += 1
+        for _ in range(sample_size):
+            if i >= self.recent_len:
+                i = 0
+            if score < self.recent[i]:
+                return
+            i += 1
+        self.timeout = self.recent_len
+        model.learn_rate = max(self.learn_rate_min,
+                               model.learn_rate * self.learn_rate_mul)
+        if self.adjust_noise:
+            model.presynaptic_noise *= self.learn_rate_mul
+            model.periodic_weight_noise *= self.learn_rate_mul
+        if verbose:
+            print(f"generation {model.generation}: entropy {score:.4g} "
+                  f"exceeds {sample_size} recent samples; learn_rate -> "
+                  f"{model.learn_rate:.3g}")
+
+
+class Ventropy:
+    """Lapped validation cross-entropy (RnnCharVentropy,
+    charmodel-predict.c:216-257), running on a stateless weight-sharing
+    evaluation stream."""
+
+    def __init__(self, cfg: nn.RnnConfig, text: np.ndarray, lap: int = 1):
+        self.cfg = cfg
+        self.text = np.asarray(text, dtype=np.int32)
+        self.lap = max(lap, 1)
+        self.lapsize = len(self.text) // self.lap if len(self.text) else 0
+        self.history = [0.0] * self.lap
+        self.counter = 0
+        self.entropy = 0.0
+        self.hidden = jnp.zeros((1, cfg.h_size), jnp.float32)
+
+    def calc(self, params: nn.RnnParams, lap: bool = True) -> float:
+        if len(self.text) == 0:
+            return 0.0
+        if self.lap > 1 and lap:
+            self.counter = (self.counter + 1) % self.lap
+            seg = self.text[self.lapsize * self.counter:
+                            self.lapsize * (self.counter + 1)]
+            skip = min(self.lapsize // 10, 5)
+            self.hidden, ent = engine.char_cross_entropy_seq(
+                self.cfg, params, self.hidden, jnp.asarray(seg)[None], skip)
+            self.history[self.counter] = float(ent[0])
+            vals = [h for h in self.history if h != 0.0]
+            self.entropy = sum(vals) / len(vals) if vals else 0.0
+        else:
+            skip = min(len(self.text) // 10, 5)
+            self.hidden, ent = engine.char_cross_entropy_seq(
+                self.cfg, params, self.hidden, jnp.asarray(self.text)[None],
+                skip)
+            self.entropy = float(ent[0])
+            self.history[0] = self.entropy
+        return self.entropy
+
+
+class CharModel:
+    """RnnCharModel + rnn_char_epoch: the full training harness."""
+
+    def __init__(self, net: Net, alphabet: Alphabet, n_streams: int = 1,
+                 learning_style: LearningMethod = LearningMethod.MOMENTUM_WEIGHTED,
+                 batch_size: int = 1, momentum_soft_start: float = 0.0,
+                 report_interval: int = 1024, save_net: bool = True,
+                 filename: Optional[str] = None,
+                 periodic_weight_noise: float = 0.0,
+                 log: Optional[KvLog] = None, seed: int = 0):
+        self.net = net
+        self.alphabet = alphabet
+        self.cfg = net.cfg
+        self.n_streams = n_streams
+        self.hyper = TrainHyper(
+            learning_style=LearningMethod(learning_style),
+            momentum_soft_start=momentum_soft_start,
+            batch_size=batch_size,
+            use_noise=net.cfg.presynaptic_noise > 0.0,
+            condition=False)  # char multi-tap path skips conditioning
+        self.report_interval = report_interval
+        self.save_net = save_net
+        self.filename = filename
+        self.periodic_weight_noise = periodic_weight_noise
+        self.log = log or KvLog()
+        self.schedule = Schedule(0)
+        # live scalars (mirrored into device state each chunk)
+        self.learn_rate = net.learn_rate
+        self.momentum = net.momentum
+        self.presynaptic_noise = net.cfg.presynaptic_noise
+        # device state
+        self.params = net.params
+        self.bptt = nn.new_bptt_state(net.cfg, n_streams,
+                                      learn_rate=net.learn_rate,
+                                      momentum=net.momentum)
+        self.bptt = dataclasses.replace(
+            self.bptt, generation=jnp.uint32(net.generation),
+            ho_scale=jnp.float32(net.ho_scale))
+        if net.min_error_factor:
+            self.bptt = dataclasses.replace(
+                self.bptt,
+                min_error_factor=jnp.full((n_streams,), net.min_error_factor,
+                                          jnp.float32))
+        self.state = nn.new_state(net.cfg, n_streams)
+        self.key = jax.random.PRNGKey(seed)
+        # confab state
+        self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
+        self._confab_char = 0
+
+    @property
+    def generation(self) -> int:
+        return int(self.bptt.generation)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ---- confabulation (rnn_char_confabulate, charmodel-predict.c:137-179) --
+    def confabulate(self, char_len: int, bias: float = 0.0,
+                    start_point: int = -1, stop_point: int = -1) -> str:
+        cfg = self.cfg
+        out_syms = []
+        n = self._confab_char
+        hidden = self._confab_hidden
+        if start_point >= 0 and char_len > 0:
+            for _ in range(100000):
+                hidden, n = self._guess_next(hidden, n, bias)
+                if n == start_point:
+                    break
+            out_syms.append(n)
+        for _ in range(char_len):
+            hidden, n = self._guess_next(hidden, n, bias)
+            out_syms.append(n)
+            if n == stop_point:
+                break
+        self._confab_char = n
+        self._confab_hidden = hidden
+        return self.alphabet.decode(out_syms)
+
+    def _guess_next(self, hidden, tok: int, bias: float):
+        """guess_next_character (charmodel-predict.c:29-60): biased-softmax
+        sampling with the host JSF64 rng; bias >= 100 → argmax."""
+        cfg = self.cfg
+        x = jax.nn.one_hot(jnp.array([tok]), cfg.input_size,
+                           dtype=jnp.float32)
+        fwd = forward_step(cfg, self.params, hidden, x)
+        logits = np.asarray(fwd.output[0, :cfg.output_size], np.float64)
+        if bias >= 100:
+            return fwd.hidden, int(np.argmax(logits))
+        probs = np.asarray(
+            biased_softmax(jnp.asarray(logits, jnp.float32), bias))
+        while True:
+            r = self.net.rng.rand_double()
+            accum = np.cumsum(probs)
+            idx = int(np.searchsorted(accum, r, side="right"))
+            if idx < len(probs):
+                return fwd.hidden, idx
+
+    # ---- priming / scoring ----
+    def prime(self, text: np.ndarray):
+        """rnn_char_prime: run text through the confab stream."""
+        if len(text) == 0:
+            return 0
+        hidden, _ = engine.char_forward_seq(
+            self.cfg, self.params, self._confab_hidden,
+            jnp.asarray(text, jnp.int32)[None])
+        self._confab_hidden = hidden
+        self._confab_char = int(text[-1])
+        return self._confab_char
+
+    def cross_entropy(self, text: np.ndarray, skip: int = 5) -> float:
+        hidden = jnp.zeros((1, self.cfg.h_size), jnp.float32)
+        _, ent = engine.char_cross_entropy_seq(
+            self.cfg, self.params, hidden, jnp.asarray(text, jnp.int32)[None],
+            min(skip, max(len(text) // 10, 0)))
+        return float(ent[0])
+
+    # ---- the epoch loop (rnn_char_epoch, charmodel-predict.c:260-405) ----
+    def epoch(self, text: np.ndarray, ventropy: Optional[Ventropy] = None,
+              start: int = 0, stop: int = 0, confab_size: int = 80,
+              confab_bias: float = 0.0, quietness: int = 0,
+              chunk_size: Optional[int] = None) -> bool:
+        """Train one pass over `text` (u8/int symbol array).  Returns True if
+        the stop generation was reached."""
+        text = np.asarray(text, dtype=np.int32)
+        S = self.n_streams
+        L = len(text) - 1
+        if L < 2:
+            return False
+        spacing = L // S
+        chunk = chunk_size or self.report_interval
+        offsets = (np.arange(S) * spacing)[:, None]   # [S,1]
+
+        report_counter = self.generation % self.report_interval
+        t0 = time.monotonic()
+        acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0, "n": 0}
+        # partial interval at entry keeps report cadence aligned with
+        # net->generation, like report_scale in the reference
+        i = start
+        while i < L:
+            n = min(chunk, L - i, self.report_interval - report_counter)
+            idx = (i + np.arange(n + 1)[None, :] + offsets) % L
+            tokens = jnp.asarray(text[idx])
+            self._sync_scalars()
+            self.params, self.bptt, self.state, totals = engine.char_train_chunk(
+                self.cfg, self.hyper, self.params, self.bptt, self.state,
+                tokens, self._next_key(), jnp.float32(self.momentum),
+                jnp.float32(self.presynaptic_noise))
+            self._pull_scalars()
+            acc["error"] += float(totals.error)
+            acc["entropy"] += float(totals.entropy)
+            acc["correct"] += float(totals.correct)
+            acc["n"] += n * S
+            i += n
+            report_counter += n
+            if report_counter >= self.report_interval:
+                report_counter = 0
+                t1 = time.monotonic()
+                elapsed = max(t1 - t0, 1e-9)
+                t0 = t1
+                per_sec = acc["n"] / elapsed
+                self._report(acc, ventropy, per_sec, confab_size,
+                             confab_bias, quietness)
+                acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0, "n": 0}
+            if stop and self.generation >= stop:
+                self._finalize()
+                return True
+        return False
+
+    def _sync_scalars(self):
+        self.bptt = dataclasses.replace(
+            self.bptt, learn_rate=jnp.float32(self.learn_rate),
+            momentum=jnp.float32(self.momentum))
+
+    def _pull_scalars(self):
+        pass  # device never changes learn_rate/momentum; nothing to pull
+
+    def _report(self, acc, ventropy, per_sec, confab_size, confab_bias,
+                quietness):
+        n = max(acc["n"], 1)
+        t_entropy = acc["entropy"] / n
+        t_error = acc["error"] / n
+        accuracy = acc["correct"] / n
+        vent = ventropy.calc(self.params) if ventropy else 0.0
+        if confab_size and quietness < 1:
+            k = self.generation >> 10
+            confab = self.confabulate(confab_size, confab_bias)
+            confab = confab.replace("\n", "\\n")
+            print(f"{k:5d}k e.{int(t_error*100+0.5):02d} t{t_entropy:.2f} "
+                  f"v{vent:.2f} a.{int(accuracy*100+0.5):02d} "
+                  f"{per_sec:.0f}/s |{confab}|", flush=True)
+        self.log.log_float("t_error", t_error)
+        self.log.log_float("t_entropy", t_entropy)
+        self.log.log_float("v_entropy", vent)
+        self.log.log_float("momentum", self.momentum)
+        self.log.log_float("accuracy", accuracy)
+        self.log.log_float("learn-rate", self.learn_rate)
+        self.log.log_float("per_second", per_sec)
+        self.log.log_int("generation", self.generation)
+        self.log.flush()
+        if self.save_net and self.filename:
+            self.save(self.filename, backup=True)
+        self.schedule.eval(self, vent, quietness < 2)
+        if self.periodic_weight_noise:
+            self.params = weight_noise(self.cfg, self.params,
+                                       self._next_key(),
+                                       jnp.float32(self.periodic_weight_noise))
+
+    def _finalize(self):
+        if self.save_net and self.filename:
+            self.save(self.filename, backup=True)
+
+    def save(self, filename: str, backup: bool = False):
+        """Sync device state back into the host Net and write the .net file."""
+        self.net.params = self.params
+        self.net.generation = self.generation
+        self.net.learn_rate = float(self.learn_rate)
+        self.net.momentum = float(self.momentum)
+        self.net.min_error_factor = float(self.bptt.min_error_factor[0])
+        nn.save_net(self.net, filename, backup=backup)

@@ -1,0 +1,345 @@
+"""NN core: batched forward pass and truncated BPTT with the reference's
+stability semantics, restructured for the MXU.
+
+Design (SURVEY.md §7): the reference's zero-row-skipping sparse matvec
+(calculate_interlayer, recur-nn.c:18-65) is replaced by batching S parallel
+streams into dense [S,i]x[i,h] matmuls.  Its fused per-row backward loop
+(bptt_and_accumulate_error, recur-nn.c:303-450) splits into
+  (1) a small sequential error-propagation scan over the BPTT depth
+      (per-step state is only [S,h]), and
+  (2) one large dense gradient matmul  einsum('dsi,dsh->ih')
+      over the masked history x error trajectories,
+so nearly all FLOPs land on the MXU as big matmuls instead of a serial chain.
+
+Semantics preserved exactly (they affect convergence):
+  * emergency input soft-clip (maybe_scale_inputs, recur-nn.c:68-81)
+  * top-error soft-clip at h_size*MAX_TOP_ERROR_FACTOR (recur-nn.c:719-721)
+  * per-stream adaptive early exit of the backward walk and the
+    error-explosion ih_scale (recur-nn.c:318-412) — expressed as masks
+  * RESQRT derivative e /= 2(input+1); RECLIP20 skips inputs >= 20
+  * ReLU derivative implicit in the nonzero mask of stored activations
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu.nn import (
+    Activation,
+    BpttState,
+    RnnConfig,
+    RnnParams,
+    RnnState,
+    ABS_MIN_ERROR_FACTOR,
+    ERROR_GAIN_CEILING,
+    INPUT_MEAN_SOFT_TOP,
+    MAX_ERROR_GAIN,
+    MAX_MIN_ERROR_FACTOR,
+    MAX_TOP_ERROR_FACTOR,
+    MIN_ERROR_GAIN,
+    RNN_HIDDEN_PENALTY,
+)
+
+# --------------------------------------------------------------------------
+# scalar / small math (badmaths.h, recur-nn-helpers.h)
+# --------------------------------------------------------------------------
+
+def soft_clip(s, halfmax):
+    """soft_clip (recur-nn-helpers.h:104-113): smooth scale-down factor."""
+    x = s / halfmax
+    fudge = 0.99 + x * x / 100.0
+    return 2.0 * x / (1.0 + x * x * fudge)
+
+
+def softclip_scale(s, halfmax, array):
+    """softclip_scale (recur-nn-helpers.h:115-124), batched.
+
+    s: [...], array: [..., n].  Returns (scaled_sum, scaled_array).
+    """
+    need = s > halfmax
+    scale = jnp.where(need, soft_clip(s, halfmax), 1.0)
+    return scale * s, array * scale[..., None]
+
+
+def capped_log2(x):
+    """capped_log2f (charmodel-helpers.h:11-14)."""
+    return jnp.where(x < 1e-30, -100.0, jnp.log2(jnp.maximum(x, 1e-38)))
+
+
+def softmax(x, axis=-1):
+    """Reference softmax (badmaths.h:71-111) uses a Padé exp approximation and
+    overflow shifting; on TPU exact exp is cheap, and jax's softmax already
+    does the max-shift, so this is strictly more accurate."""
+    return jax.nn.softmax(x, axis=axis)
+
+
+def biased_softmax(x, bias, axis=-1):
+    """biased_softmax (badmaths.h:143-156): sharpen by re-softmaxing
+    softmax(x)*bias + x.  bias==0 → plain softmax."""
+    p = softmax(x, axis=axis)
+    return jnp.where(bias == 0.0, p, softmax(p * bias + x, axis=axis))
+
+
+def softmax_best_guess_error(answer, target, axis=-1):
+    """softmax_best_guess + error[target] += 1 (badmaths.h:113-141).
+
+    answer: [..., n] logits; target: [...] int.
+    Returns (o_error = onehot(target) - softmax(answer), winner, p_target).
+    o_error is the value the reference leaves in the error array after the
+    canonical `error[target] += 1.0f` — i.e. the negative XE gradient.
+    """
+    p = softmax(answer, axis=axis)
+    winner = jnp.argmax(p, axis=axis)
+    onehot = jax.nn.one_hot(target, answer.shape[-1], dtype=answer.dtype)
+    o_error = onehot - p
+    p_target = jnp.take_along_axis(p, target[..., None], axis=-1)[..., 0]
+    return o_error, winner, p_target
+
+
+# --------------------------------------------------------------------------
+# forward pass (rnn_opinion, recur-nn.c:83-154), batched over streams
+# --------------------------------------------------------------------------
+
+class ForwardOut(NamedTuple):
+    hidden: jax.Array        # [S, h_size] post-activation (with [.,0]=1)
+    output: jax.Array        # [S, o_size] raw logits
+    input_row: jax.Array     # [S, i_size] the (possibly soft-clipped) row
+                             # that belongs in the history ring
+    bottom_inputs: Optional[jax.Array]  # [S, bottom_i_size] or None
+
+
+def _activation(cfg: RnnConfig, h):
+    if cfg.activation == Activation.RESQRT:
+        return jnp.where(h > 0.0, jnp.sqrt(jnp.maximum(h, 0.0) + 1.0) - 1.0, 0.0)
+    if cfg.activation == Activation.RECLIP20:
+        return jnp.clip(h - RNN_HIDDEN_PENALTY, 0.0, 20.0)
+    return jnp.maximum(h - RNN_HIDDEN_PENALTY, 0.0)
+
+
+def _hidden_mask(cfg: RnnConfig):
+    """1.0 on live hidden slots 1..hidden_size, 0 on bias slot and padding."""
+    idx = jnp.arange(cfg.h_size)
+    return ((idx >= 1) & (idx <= cfg.hidden_size)).astype(jnp.float32)
+
+
+def _presynaptic_noise(cfg: RnnConfig, key, shape, deviation):
+    """MAYBE_ADD_ARRAY_NOISE: gaussian noise on pre-activation hiddens.
+    The reference's cheap_gaussian_noise is an Irwin-Hall ~N(0,1) hard-limited
+    to ±6σ; we clip a normal to the same support."""
+    n = jax.random.normal(key, shape)
+    return jnp.clip(n, -6.0, 6.0) * deviation
+
+
+def forward_step(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
+                 x: jax.Array, *, noise_key: Optional[jax.Array] = None,
+                 presynaptic_noise: jax.Array | float = 0.0) -> ForwardOut:
+    """One forward step for S parallel streams.
+
+    hidden: [S, h_size] previous post-activation hidden (slot 0 == bias).
+    x: [S, input_size] dense inputs (one-hot rows for char models, features
+       for audio).  With a bottom layer, x is [S, bottom_input_size] and is
+       passed through the extra feed-forward layer first
+       (recur-nn.c:88-103).
+    """
+    S = hidden.shape[0]
+    f32 = jnp.float32
+    bottom_inputs = None
+    if cfg.has_bottom:
+        assert params.bottom is not None
+        bi = jnp.zeros((S, cfg.bottom_i_size), f32)
+        bi = bi.at[:, 0].set(1.0)
+        bi = bi.at[:, 1:1 + cfg.bottom_input_size].set(x)
+        bottom_inputs = bi
+        bo = bi @ params.bottom            # [S, bottom_o_size]
+        if noise_key is not None:
+            k0, noise_key = jax.random.split(noise_key)
+            noise = _presynaptic_noise(cfg, k0, (S, cfg.input_size - 1),
+                                       presynaptic_noise)
+            bo = bo.at[:, 1:cfg.input_size].add(noise)
+        x = jnp.maximum(bo[:, :cfg.input_size], 0.0)
+
+    # input layer = [bias=1, hidden(t-1)[1:], x, pad]  (recur-nn.c:104-112)
+    row = jnp.zeros((S, cfg.i_size), f32)
+    row = row.at[:, :cfg.h_size].set(hidden)
+    row = row.at[:, 0].set(1.0)
+    row = row.at[:, cfg.input_offset:cfg.input_offset + cfg.input_size].set(x)
+    # pad slots between hidden_size+1..h_size carried hidden pads (zero); the
+    # x write starts at hidden_size+1 which may overlap h_size pads — rebuild:
+    # (input_offset = hidden_size+1 <= h_size, so x overwrites the pad slots.)
+
+    # emergency input scale (maybe_scale_inputs, recur-nn.c:68-81)
+    sums = jnp.sum(row, axis=1)
+    softclip = cfg.i_size * INPUT_MEAN_SOFT_TOP
+    scale = jnp.where(sums > softclip, soft_clip(sums, softclip), 1.0)
+    row = row * scale[:, None]
+
+    h_pre = row @ params.ih                # [S, h_size]
+    if noise_key is not None:
+        noise = _presynaptic_noise(cfg, noise_key, (S, cfg.h_size - 1),
+                                   presynaptic_noise)
+        h_pre = h_pre.at[:, 1:].add(noise)
+
+    h = _activation(cfg, h_pre)
+    h = h * _hidden_mask(cfg)              # zero pads (and bias slot)
+    h = h.at[:, 0].set(1.0)                # bias (recur-nn.c:148)
+
+    out = h @ params.ho                    # [S, o_size]
+    return ForwardOut(hidden=h, output=out, input_row=row,
+                      bottom_inputs=bottom_inputs)
+
+
+def advance_history(state: RnnState, input_row: jax.Array) -> RnnState:
+    """rnn_bptt_advance (recur-nn.c:696-704): rotate the ring and write the
+    new input layer into it — writing inputs IS writing history."""
+    depth = state.history.shape[1]
+    head = (state.head + 1) % depth
+    history = jax.lax.dynamic_update_slice_in_dim(
+        state.history, input_row[:, None, :], head, axis=1)
+    return RnnState(hidden=state.hidden, history=history, head=head)
+
+
+# --------------------------------------------------------------------------
+# truncated BPTT (rnn_bptt_calc_deltas + bptt_and_accumulate_error)
+# --------------------------------------------------------------------------
+
+class DeltaOut(NamedTuple):
+    ih_delta: jax.Array                 # [i_size, h_size] summed over streams
+    ho_delta: jax.Array                 # [h_size, o_size] summed over streams
+    bottom_delta: Optional[jax.Array]
+    min_error_factor: jax.Array         # [S] updated adaptive floor
+    stats: dict                         # per-step logging values
+
+
+def _row_mask(cfg: RnnConfig, inputs):
+    """Which history rows take part in the backward step (recur-nn.c:338-341):
+    nonzero, and for RECLIP20 only rows whose stored activation is < 20."""
+    m = inputs != 0.0
+    if cfg.activation == Activation.RECLIP20:
+        m = m & (inputs < 20.0)
+    return m
+
+
+def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
+                bottom_inputs: Optional[jax.Array],
+                o_error: jax.Array, min_error_factor: jax.Array,
+                learn_rate: jax.Array) -> DeltaOut:
+    """Batched rnn_bptt_calc_deltas (recur-nn.c:707-772).
+
+    o_error: [S, o_size] top error (e.g. onehot-softmax), per stream.
+    Returns weight-space deltas already summed over the stream axis — the
+    synchronic mini-batch "all-reduce into one delta array"
+    (recur-nn-init.c:236-241) becomes this reduction; across chips it becomes
+    a psum (parallel/mesh.py).
+    """
+    S = o_error.shape[0]
+    hidden = state.hidden                      # [S, h_size] current
+    depth = cfg.depth
+    hmask = _hidden_mask(cfg)
+
+    # ---- top layer (backprop_top_layer + softclip, recur-nn.c:713-729) ----
+    # error on hidden units: rows y>=1 with hidden[y] != 0
+    h_err0 = (o_error @ params.ho.T)           # [S, h_size]
+    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
+    h_err0 = jnp.where(live, h_err0, 0.0)
+    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)          # [S]
+    top_scaled, h_err0 = softclip_scale(
+        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
+
+    # ho_delta: sum over streams of outer(hidden, o_error)
+    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
+                          preferred_element_type=jnp.float32)
+
+    # ---- BPTT thresholds (recur-nn.c:317-323), per stream ----
+    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
+    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
+    min_error_gain = MIN_ERROR_GAIN * top_scaled
+    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+
+    # time-major history, newest first: ordered[t] is the input row at
+    # offset (head - t) mod depth  (recur-nn.c:329-332)
+    order = (state.head - jnp.arange(depth)) % depth
+    hist = jnp.moveaxis(jnp.take(state.history, order, axis=1), 1, 0)
+    # hist: [depth, S, i_size]
+
+    def step(carry, inputs_t):
+        e_h, active, last_err, k_active, cum_err, cie = carry
+        # zero bias slot + pads (recur-nn.c:334-337)
+        e_h = e_h * hmask
+        m = _row_mask(cfg, inputs_t)                     # [S, i_size]
+        e_full = e_h @ params.ih.T                       # [S, i_size]
+        if cfg.activation == Activation.RESQRT:
+            e_full = e_full / (2.0 * (inputs_t + 1.0))
+        e_full = jnp.where(m, e_full, 0.0)
+        err_sum = jnp.sum(e_full * e_full, axis=1)       # [S]
+        act_f = active.astype(jnp.float32)
+        # ys: the error used for this step's delta, masked by active
+        y_eh = e_h * act_f[:, None]
+        # bottom-layer cumulative input error (recur-nn.c:377-382)
+        if cie is not None:
+            part = e_full[:, cfg.input_offset:cfg.input_offset + cfg.input_size]
+            cie = cie + part * act_f[:, None]
+        cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+        last_err = jnp.where(active, err_sum, last_err)
+        k_active = k_active + active.astype(jnp.int32)
+        trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
+        active = active & ~trip
+        e_h_next = e_full[:, :cfg.h_size]
+        return (e_h_next, active, last_err, k_active, cum_err, cie), y_eh
+
+    cie0 = (jnp.zeros((S, cfg.input_size), jnp.float32)
+            if cfg.has_bottom else None)
+    carry0 = (h_err0, jnp.ones((S,), bool),
+              jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+              jnp.zeros((S,), jnp.float32), cie0)
+    (e_h_fin, active_fin, last_err, k_active, cum_err, cie), eh_traj = \
+        jax.lax.scan(step, carry0, hist)
+    # eh_traj: [depth, S, h_size] — error actually applied at each step
+
+    # ---- emergency scaling & adaptive min error (recur-nn.c:393-413) ----
+    clipped = last_err > error_sum_ceiling
+    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
+    broke = ~active_fin
+    t_final = jnp.where(broke, depth - k_active + 1, 0)
+    if cfg.adaptive_min_error:
+        depth_error = (depth // 4 - t_final).astype(jnp.float32)
+        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
+                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
+        grow = min_error_factor * (1.0 + depth_error * 1e-3)
+        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
+        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
+    else:
+        new_mef = min_error_factor
+    if cfg.has_bottom and cie is not None:
+        cie = cie * jnp.where(clipped, ih_scale * ih_scale, 1.0)[:, None]
+
+    # ---- the big gradient matmul: Σ_t Σ_s scale_s · input_t ⊗ e_h_t ----
+    hist_eff = jnp.where(_row_mask(cfg, hist), hist, 0.0)
+    eh_scaled = eh_traj * ih_scale[None, :, None]
+    ih_delta = jnp.einsum("dsi,dsh->ih", hist_eff, eh_scaled,
+                          preferred_element_type=jnp.float32)
+
+    # ---- bottom layer delta (recur-nn.c:750-764) ----
+    bottom_delta = None
+    if cfg.has_bottom and bottom_inputs is not None and cie is not None:
+        # bottom o_error is the cumulative input error on the RNN's inputs
+        bo_err = jnp.zeros((S, cfg.bottom_o_size), jnp.float32)
+        bo_err = bo_err.at[:, :cfg.input_size].set(cie)
+        bottom_delta = jnp.einsum("si,so->io", bottom_inputs, bo_err,
+                                  preferred_element_type=jnp.float32)
+
+    stats = {
+        "depth": (depth - t_final).astype(jnp.float32),
+        "ih_scale": ih_scale,
+        "top_error_raw": top_error_sum,
+        "top_error_scaled": top_scaled,
+        "error_sum": last_err,
+        "cum_error": cum_err,
+        "min_error_threshold": min_error_sum,
+    }
+    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+                    bottom_delta=bottom_delta, min_error_factor=new_mef,
+                    stats=stats)

@@ -1,0 +1,222 @@
+"""Numeric validation of the batched/jitted NN core against the literal
+numpy oracle (single-stream), plus multi-stream equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import nn
+from recur_tpu.nn import Activation, Flag, LearningMethod, RnnConfig
+from recur_tpu.ops.core import calc_deltas, forward_step, advance_history
+from recur_tpu.ops.optimizers import apply_learning
+from recur_tpu import engine
+from recur_tpu.engine import TrainHyper
+
+import oracle as orc
+
+
+def make_pair(input_size=5, hidden_size=7, output_size=4, depth=6,
+              activation=Activation.RELU, seed=0):
+    """Build an oracle net and a matching jax (cfg, params, state, bptt)."""
+    o = orc.OracleNet(input_size, hidden_size, output_size, depth,
+                      activation=int(activation), seed=seed)
+    flags = Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR
+    cfg = RnnConfig(input_size=input_size, hidden_size=hidden_size,
+                    output_size=output_size, flags=flags, depth=depth,
+                    activation=activation)
+    params = nn.RnnParams(ih=jnp.asarray(o.ih), ho=jnp.asarray(o.ho))
+    state = nn.new_state(cfg, 1)
+    bptt = nn.new_bptt_state(cfg, 1, learn_rate=o.learn_rate,
+                             momentum=o.momentum)
+    return o, cfg, params, state, bptt
+
+
+def sync_state(o, cfg):
+    """Copy oracle's hidden/history into a 1-stream RnnState."""
+    return nn.RnnState(hidden=jnp.asarray(o.hidden)[None],
+                       history=jnp.asarray(o.history)[None],
+                       head=jnp.int32(o.head))
+
+
+@pytest.mark.parametrize("activation",
+                         [Activation.RELU, Activation.RESQRT,
+                          Activation.RECLIP20])
+def test_forward_matches_oracle(activation):
+    o, cfg, params, state, bptt = make_pair(activation=activation, seed=3)
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(o.hidden)[None]
+    for step in range(8):
+        tok = int(rng.integers(0, cfg.input_size))
+        out_o = o.step_forward(np.eye(cfg.input_size, dtype=np.float32)[tok])
+        x = jax.nn.one_hot(jnp.array([tok]), cfg.input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, hidden, x)
+        hidden = fwd.hidden
+        np.testing.assert_allclose(np.asarray(fwd.output[0]), out_o,
+                                   rtol=2e-5, atol=1e-6,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(hidden[0]), o.hidden,
+                                   rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("activation",
+                         [Activation.RELU, Activation.RESQRT,
+                          Activation.RECLIP20])
+def test_calc_deltas_matches_oracle(activation):
+    o, cfg, params, state, bptt = make_pair(activation=activation, seed=7)
+    rng = np.random.default_rng(2)
+    # run some forwards to populate history and hidden
+    for _ in range(10):
+        tok = int(rng.integers(0, cfg.input_size))
+        out = o.step_forward(np.eye(cfg.input_size, dtype=np.float32)[tok])
+    o_error, _, _ = orc.one_hot_error(out, cfg.output_size,
+                                      int(rng.integers(0, cfg.output_size)))
+    state = sync_state(o, cfg)
+    mef_before = o.min_error_factor
+    ih_d_o, ho_d_o, scale_o = o.calc_deltas(o_error.copy())
+
+    d = calc_deltas(cfg, params, state, None, jnp.asarray(o_error)[None],
+                    jnp.asarray([mef_before], jnp.float32),
+                    jnp.float32(o.learn_rate))
+    np.testing.assert_allclose(np.asarray(d.ho_delta), ho_d_o,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d.ih_delta), ih_d_o,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(d.stats["ih_scale"][0]), scale_o,
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(d.min_error_factor[0]),
+                               o.min_error_factor, rtol=1e-4)
+
+
+def test_training_trajectory_matches_oracle():
+    """Full train loop, S=1: weights must track the oracle for many steps."""
+    o, cfg, params, state, bptt = make_pair(output_size=5, seed=11)
+    hyper = TrainHyper(condition=False)  # oracle has no conditioning
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, cfg.input_size, size=60)
+    key = jax.random.PRNGKey(0)
+    mom = jnp.float32(o.momentum)
+
+    for i in range(len(toks) - 1):
+        out = o.step_forward(np.eye(cfg.input_size, dtype=np.float32)[toks[i]])
+        o_error, _, _ = orc.one_hot_error(out, cfg.output_size, toks[i + 1])
+        ih_d, ho_d, _ = o.calc_deltas(o_error)
+        # multi-tap path: momentum soft start with 0 => momentum unchanged
+        o.apply_weighted(ih_d, ho_d)
+
+        params, bptt, state, stats = engine.char_train_step(
+            cfg, hyper, params, bptt, state,
+            jnp.array([toks[i]]), jnp.array([toks[i + 1]]), key,
+            mom, jnp.float32(0.0))
+
+    np.testing.assert_allclose(np.asarray(params.ih), o.ih,
+                               rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(params.ho), o.ho,
+                               rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state.hidden[0]), o.hidden,
+                               rtol=5e-3, atol=2e-5)
+
+
+def test_multi_stream_equals_summed_oracles():
+    """S=3 streams sharing weights == 3 oracle clones writing one delta array
+    (the synchronic mini-batch, recur-nn-init.c:221-243).
+
+    States are re-synced from the oracles every step so the comparison tests
+    the *semantics* (per-step summed deltas, per-stream min_error_factor),
+    not the chaotic divergence of f32 trajectories."""
+    S = 3
+    o0, cfg, params, state, bptt = make_pair(output_size=5, seed=21)
+    oracles = [orc.OracleNet(cfg.input_size, cfg.hidden_size, cfg.output_size,
+                             cfg.depth, seed=21) for _ in range(S)]
+    for o in oracles:
+        o.ih = oracles[0].ih
+        o.ho = oracles[0].ho
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, cfg.input_size, size=(S, 25))
+
+    for i in range(toks.shape[1] - 1):
+        ih_sum = np.zeros_like(oracles[0].ih)
+        ho_sum = np.zeros_like(oracles[0].ho)
+        o_errs = []
+        for s, o in enumerate(oracles):
+            out = o.step_forward(
+                np.eye(cfg.input_size, dtype=np.float32)[toks[s, i]])
+            o_error, _, _ = orc.one_hot_error(out, cfg.output_size,
+                                              toks[s, i + 1])
+            o_errs.append(o_error)
+        state = nn.RnnState(
+            hidden=jnp.asarray(np.stack([o.hidden for o in oracles])),
+            history=jnp.asarray(np.stack([o.history for o in oracles])),
+            head=jnp.int32(oracles[0].head))
+        params = nn.RnnParams(ih=jnp.asarray(oracles[0].ih.copy()),
+                              ho=jnp.asarray(oracles[0].ho.copy()))
+        mef = jnp.asarray([o.min_error_factor for o in oracles], jnp.float32)
+        from recur_tpu.ops.core import calc_deltas as jax_calc_deltas
+        d = jax_calc_deltas(cfg, params, state, None,
+                            jnp.asarray(np.stack(o_errs)), mef,
+                            jnp.float32(1e-3))
+        for s, o in enumerate(oracles):
+            ih_d, ho_d, _ = o.calc_deltas(o_errs[s])
+            ih_sum += ih_d
+            ho_sum += ho_d
+        np.testing.assert_allclose(np.asarray(d.ih_delta), ih_sum,
+                                   rtol=1e-4, atol=1e-6, err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(d.ho_delta), ho_sum,
+                                   rtol=1e-4, atol=1e-6, err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            np.asarray(d.min_error_factor),
+            np.array([o.min_error_factor for o in oracles]), rtol=1e-5)
+        oracles[0].apply_weighted(ih_sum, ho_sum)
+
+
+def test_chunk_equals_stepwise():
+    """char_train_chunk(scan) == repeated char_train_step."""
+    o, cfg, params, state, bptt = make_pair(seed=31)
+    hyper = TrainHyper(condition=False)
+    rng = np.random.default_rng(6)
+    S, T = 2, 12
+    state = nn.new_state(cfg, S)
+    bptt = nn.new_bptt_state(cfg, S)
+    toks = jnp.asarray(rng.integers(0, cfg.input_size, size=(S, T + 1)))
+    key = jax.random.PRNGKey(42)
+    mom = jnp.float32(0.95)
+    noise = jnp.float32(0.0)
+
+    p1, b1, s1 = params, bptt, nn.new_state(cfg, S)
+    keys = jax.random.split(key, T)
+    for t in range(T):
+        p1, b1, s1, _ = engine.char_train_step(
+            cfg, hyper, p1, b1, s1, toks[:, t], toks[:, t + 1], keys[t],
+            mom, noise)
+
+    # chunk last: char_train_chunk donates its params/bptt/state buffers
+    p2, b2, s2, totals = engine.char_train_chunk(
+        cfg, hyper, params, bptt, nn.new_state(cfg, S), toks, key, mom, noise)
+    np.testing.assert_allclose(np.asarray(p2.ih), np.asarray(p1.ih),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.hidden), np.asarray(s1.hidden),
+                               rtol=1e-5, atol=1e-7)
+    assert int(b2.generation) == T
+
+
+@pytest.mark.parametrize("method", list(LearningMethod))
+def test_optimizers_run_and_update(method):
+    o, cfg, params, state, bptt = make_pair(seed=41)
+    if method in (LearningMethod.ADADELTA, LearningMethod.RPROP):
+        cfg = nn.RnnConfig(**{**cfg.__dict__, "flags": cfg.flags | Flag.AUX_ARRAYS})
+        bptt = nn.new_bptt_state(cfg, 1)
+        import dataclasses
+        bptt = dataclasses.replace(
+            bptt,
+            ih_aux=jnp.full_like(bptt.ih_momentum, 1e-3),
+            ho_aux=jnp.full_like(bptt.ho_momentum, 1e-3))
+    ih_d = jnp.asarray(np.random.default_rng(1).normal(
+        0, 0.1, params.ih.shape).astype(np.float32))
+    ho_d = jnp.asarray(np.random.default_rng(2).normal(
+        0, 0.1, params.ho.shape).astype(np.float32))
+    p2, b2 = apply_learning(cfg, params, bptt, ih_d, ho_d, None, method,
+                            jnp.float32(0.9))
+    assert not np.allclose(np.asarray(p2.ih), np.asarray(params.ih))
+    assert np.isfinite(np.asarray(p2.ih)).all()
+    assert np.isfinite(np.asarray(p2.ho)).all()
