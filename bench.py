@@ -1,0 +1,99 @@
+"""Benchmark: char-LM training throughput (the reference's central workload,
+rnn_char_epoch at text-predict defaults: h=199, ~42-symbol alphabet, BPTT
+depth 30, weighted momentum).
+
+Metric: net-steps/sec = characters x parallel streams trained per second.
+The reference trains one stream on one core; this engine batches S streams
+into MXU matmuls (SURVEY.md §7) and scans a whole chunk per device call.
+
+Baseline: bench_baseline.c — a fresh micro-implementation of the same
+per-character hot loop (sparse zero-row-skipping matvec forward, depth-30
+row-skipped BPTT, momentum update) compiled -O3 -march=native -ffast-math on
+this host, i.e. the "SIMD C core" of BASELINE.md measured on the same box.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+C_BASELINE_FALLBACK = 26641.0  # chars/s measured on this image's CPU
+
+
+def c_baseline(seconds: float = 2.0) -> float:
+    exe = "/tmp/recur_bench_baseline"
+    src = os.path.join(REPO, "bench_baseline.c")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-ffast-math", "-o", exe,
+                 src, "-lm"], check=True, capture_output=True)
+        out = subprocess.run([exe, str(seconds)], check=True,
+                             capture_output=True, text=True, timeout=60)
+        return float(out.stdout.strip())
+    except Exception:
+        return C_BASELINE_FALLBACK
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from recur_tpu import nn
+    from recur_tpu import engine
+    from recur_tpu.engine import TrainHyper
+    from recur_tpu.nn import Flag
+    from recur_tpu.ops import init as winit
+
+    base = c_baseline()
+
+    net = nn.new_net(42, 199, 42,
+                     flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
+                     rng_seed=1, depth=30, learn_rate=1e-4)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False)
+
+    best = 0.0
+    T = 256
+    sizes = (256, 512, 1024) if jax.default_backend() != "cpu" else (64,)
+    for S in sizes:
+        params = jax.device_put(jax.tree.map(jnp.copy, net.params))
+        bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
+        state = nn.new_state(cfg, S)
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(0, 42, size=(S, T + 1)))
+        key = jax.random.PRNGKey(0)
+        args = (jnp.float32(0.95), jnp.float32(0.0))
+        # time with a full sync per iteration (the axon transport can return
+        # from a partial block_until_ready on freshly-queued work); drop the
+        # first two iterations, take the median of the rest
+        times = []
+        for i in range(8):
+            t0 = time.perf_counter()
+            params, bptt, state, tot = engine.char_train_chunk(
+                cfg, hyper, params, bptt, state, tokens, key, *args)
+            # a device->host read is the only reliable sync through the axon
+            # tunnel (block_until_ready can return early on queued work)
+            float(tot.entropy)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times[2:])[len(times[2:]) // 2]
+        best = max(best, S * T / dt)
+
+    print(json.dumps({
+        "metric": "char-LM BPTT training throughput (h=199, depth=30, "
+                  "42-sym alphabet; streams x chars/sec)",
+        "value": round(best, 0),
+        "unit": "net-steps/s",
+        "vs_baseline": round(best / base, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from recur_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_train_args,
+    sharded_train_chunk,
+)

@@ -1,0 +1,106 @@
+"""Multi-chip scaling: shard the stream axis (DP) and the hidden dimension
+(TP) over a TPU mesh.
+
+The reference has no distributed backend at all (SURVEY.md §2.9): its
+"parallelism" is N pointer-aliased clones adding into one delta array in one
+thread.  Here that synchronic mini-batch IS the data-parallel axis:
+
+  * streams (state.hidden/history, tokens, min_error_factor) shard over the
+    'data' mesh axis; the delta reduction over streams becomes an XLA
+    all-reduce over ICI,
+  * the hidden dimension of the weight matrices (ih columns, ho rows, and
+    the matching optimizer slots) shards over the 'model' axis — tensor
+    parallelism for very large hidden sizes,
+  * everything else is replicated.
+
+We annotate shardings with jax.sharding / NamedSharding and let GSPMD insert
+the collectives (psum for the contracted hidden dim, reduce-scatter/
+all-gather for the delta einsums) — no hand-written comms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recur_tpu import engine
+from recur_tpu.nn import BpttState, RnnConfig, RnnParams, RnnState
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model <= n, (n_data, n_model, n)
+    devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def _param_specs(cfg: RnnConfig) -> RnnParams:
+    """Shard the hidden dim: ih columns and ho rows over 'model'."""
+    return RnnParams(ih=P(None, "model"), ho=P("model", None),
+                     bottom=P(None, None) if cfg.has_bottom else None)
+
+
+def _bptt_specs(cfg: RnnConfig) -> BpttState:
+    mat_ih = P(None, "model")
+    mat_ho = P("model", None)
+    b = P(None, None) if cfg.has_bottom else None
+    aux = bool(cfg.flags & 2048)
+    return BpttState(
+        ih_momentum=mat_ih, ho_momentum=mat_ho,
+        ih_aux=mat_ih if aux else None, ho_aux=mat_ho if aux else None,
+        bottom_momentum=b, bottom_aux=b if aux else None,
+        learn_rate=P(), ho_scale=P(), momentum=P(), momentum_weight=P(),
+        min_error_factor=P("data"), generation=P(),
+        ih_delta=mat_ih, ho_delta=mat_ho, bottom_delta=b)
+
+
+def _state_specs(cfg: RnnConfig) -> RnnState:
+    return RnnState(hidden=P("data", None), history=P("data", None, None),
+                    head=P())
+
+
+def shard_train_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
+                     bptt: BpttState, state: RnnState):
+    """Place existing host/device values onto the mesh with the training
+    shardings (device_put with NamedShardings)."""
+    def put(tree, specs):
+        # None params (e.g. no bottom layer) are empty pytree nodes and are
+        # skipped by tree.map automatically
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+    return (put(params, _param_specs(cfg)),
+            put(bptt, _bptt_specs(cfg)),
+            put(state, _state_specs(cfg)))
+
+
+def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
+    """A jitted char_train_chunk with mesh shardings: streams over 'data',
+    hidden dim over 'model'.  Returns fn(params, bptt, state, tokens, key,
+    momentum, noise)."""
+    in_shardings = (
+        jax.tree.map(lambda s: NamedSharding(mesh, s), _param_specs(cfg)),
+        jax.tree.map(lambda s: NamedSharding(mesh, s), _bptt_specs(cfg)),
+        jax.tree.map(lambda s: NamedSharding(mesh, s), _state_specs(cfg)),
+        NamedSharding(mesh, P("data", None)),   # tokens [S, T+1]
+        NamedSharding(mesh, P()),               # key
+        NamedSharding(mesh, P()),               # momentum
+        NamedSharding(mesh, P()),               # noise
+    )
+
+    def fn(params, bptt, state, tokens, key, momentum, noise):
+        return engine.char_train_chunk(cfg, hyper, params, bptt, state,
+                                       tokens, key, momentum, noise)
+
+    return jax.jit(fn, in_shardings=in_shardings)
