@@ -208,3 +208,133 @@ def char_cross_entropy_seq(cfg: RnnConfig, params: RnnParams,
     mask = (jnp.arange(T - 1) >= skip).astype(jnp.float32)
     ent = -(p2 * mask).sum(axis=1) / mask.sum()
     return hidden, ent
+
+
+# ----------------------------------------------------------------------------
+# generic dense-feature trainer (the rnnumpy / audio-classify style step)
+# ----------------------------------------------------------------------------
+
+class DenseStats(NamedTuple):
+    error: jax.Array      # [S] Σ error at nonzero-target outputs
+    accuracy: jax.Array   # [S] count of |error|<0.5 at nonzero targets
+    trained: jax.Array    # [S] whether this row trained
+
+
+def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
+                     params: RnnParams, bptt: BpttState, state: RnnState,
+                     x, target, train_mask, key, momentum_target,
+                     presynaptic_noise):
+    """One row of dense features across S streams (py-recur-numpy.c:396-455
+    semantics: error = target - softmax(out), masked rows forward without
+    training).  x: [S, input_size] (or bottom_input_size); target:
+    [S, output_size]; train_mask: [S] float 0/1."""
+    import dataclasses as _dc
+    S = x.shape[0]
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    nk, ck = jax.random.split(key)
+    fwd = forward_step(cfg, params, state.hidden, x,
+                       noise_key=nk if hyper.use_noise else None,
+                       presynaptic_noise=presynaptic_noise)
+    state = advance_history(state, fwd.input_row)
+    state = RnnState(hidden=fwd.hidden, history=state.history,
+                     head=state.head)
+
+    logits = fwd.output[:, :cfg.output_size]
+    p = jax.nn.softmax(logits, axis=-1)
+    err = (target - p) * train_mask[:, None]
+    o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
+    o_error = o_error.at[:, :cfg.output_size].set(err)
+
+    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+                    bptt.min_error_factor, bptt.learn_rate)
+
+    gen = bptt.generation + 1
+    if hyper.batch_size > 1:
+        ih_acc = bptt.ih_delta + d.ih_delta
+        ho_acc = bptt.ho_delta + d.ho_delta
+        b_acc = (bptt.bottom_delta + d.bottom_delta
+                 if d.bottom_delta is not None else bptt.bottom_delta)
+        apply_now = (gen % hyper.batch_size) == 0
+
+        def do_apply(args):
+            params, bptt = args
+            p2, b2 = apply_learning(cfg, params, bptt, ih_acc, ho_acc, b_acc,
+                                    hyper.learning_style, momentum,
+                                    hyper.bottom_learn_rate_scale)
+            b2 = _dc.replace(
+                b2, ih_delta=jnp.zeros_like(ih_acc),
+                ho_delta=jnp.zeros_like(ho_acc),
+                bottom_delta=(jnp.zeros_like(b_acc)
+                              if b_acc is not None else None))
+            return p2, b2
+
+        def no_apply(args):
+            params, bptt = args
+            return params, _dc.replace(bptt, ih_delta=ih_acc,
+                                       ho_delta=ho_acc, bottom_delta=b_acc)
+
+        params, bptt = jax.lax.cond(apply_now, do_apply, no_apply,
+                                    (params, bptt))
+    else:
+        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                      d.ho_delta, d.bottom_delta,
+                                      hyper.learning_style, momentum,
+                                      hyper.bottom_learn_rate_scale)
+    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               generation=gen)
+    if hyper.condition:
+        params, bptt = condition_net(cfg, params, bptt, ck)
+
+    live = (target != 0.0).astype(jnp.float32)
+    stats = DenseStats(
+        error=jnp.sum(err * live, axis=1),
+        accuracy=jnp.sum((jnp.abs(err) < 0.5) * live, axis=1) * train_mask,
+        trained=train_mask)
+    return params, bptt, state, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def dense_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
+                      params, bptt, state, features, targets, train_mask,
+                      key, momentum_target, presynaptic_noise):
+    """Scan dense_train_step over time.  features: [S, T, in]; targets:
+    [S, T, out]; train_mask: [S, T]."""
+    S, T = features.shape[:2]
+    xs = jnp.moveaxis(features, 1, 0)
+    ts = jnp.moveaxis(targets, 1, 0)
+    ms = jnp.moveaxis(train_mask, 1, 0)
+    keys = jax.random.split(key, T)
+
+    def body(carry, inp):
+        params, bptt, state = carry
+        x, t, m, k = inp
+        params, bptt, state, stats = dense_train_step(
+            cfg, hyper, params, bptt, state, x, t, m, k, momentum_target,
+            presynaptic_noise)
+        return (params, bptt, state), jax.tree.map(jnp.sum, stats)
+
+    (params, bptt, state), stats = jax.lax.scan(
+        body, (params, bptt, state), (xs, ts, ms, keys))
+    return params, bptt, state, jax.tree.map(jnp.sum, stats)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def dense_forward_seq(cfg: RnnConfig, params: RnnParams, hidden, use_noise,
+                      features, key, presynaptic_noise):
+    """Stateful forward over dense rows; returns (hidden, softmax probs
+    [S, T, output_size]) — Net_classify (py-recur-numpy.c:498-545)."""
+    xs = jnp.moveaxis(features, 1, 0)
+    T = xs.shape[0]
+    keys = jax.random.split(key, T)
+
+    def body(h, inp):
+        x, k = inp
+        fwd = forward_step(cfg, params, h, x,
+                           noise_key=k if use_noise else None,
+                           presynaptic_noise=presynaptic_noise)
+        return fwd.hidden, jax.nn.softmax(fwd.output[:, :cfg.output_size],
+                                          axis=-1)
+
+    hidden, probs = jax.lax.scan(body, hidden, (xs, keys))
+    return hidden, jnp.moveaxis(probs, 0, 1)

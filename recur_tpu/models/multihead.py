@@ -1,0 +1,182 @@
+"""Multi-head ("multi-softmax") char modelling: one RNN with n_classes
+independent softmax heads over the alphabet, used for authorship/language ID
+(charmodel-multi-predict.c; the basis of the PAN "caravel" project).
+
+Training semantics (multi_softmax_error, charmodel-multi-predict.c:18-58):
+the target class's head always trains; every other head trains with
+probability `leakage`.  The reference builds sparse RecurErrorRange lists so
+its CPU backward only touches active output spans — on TPU the same thing is
+a mask on o_error (inactive heads contribute exactly zero to both ho_delta
+and the backpropagated h_error, so masking is semantically identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu.nn import BpttState, RnnConfig, RnnParams, RnnState
+from recur_tpu.engine import TrainHyper
+from recur_tpu.ops.core import (
+    advance_history,
+    calc_deltas,
+    capped_log2,
+    forward_step,
+)
+from recur_tpu.ops.conditioning import condition_net
+from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
+
+
+class MultiStats(NamedTuple):
+    error: jax.Array      # [S] 1 - p_target on the target head
+    entropy: jax.Array    # [S] -log2(p_target)
+
+
+def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
+                         params: RnnParams, bptt: BpttState, state: RnnState,
+                         x_tok, y_tok, target_class, leakage, key,
+                         momentum_target, presynaptic_noise):
+    """One char step for S streams, each with its own target class.
+
+    x_tok/y_tok/target_class: [S] ints; leakage: scalar probability.
+    """
+    S = x_tok.shape[0]
+    n_classes = cfg.output_size // alphabet_len
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+    nk, lk, ck = jax.random.split(key, 3)
+    fwd = forward_step(cfg, params, state.hidden, x,
+                       noise_key=nk if hyper.use_noise else None,
+                       presynaptic_noise=presynaptic_noise)
+    state = advance_history(state, fwd.input_row)
+    state = RnnState(hidden=fwd.hidden, history=state.history, head=state.head)
+
+    logits = fwd.output[:, :n_classes * alphabet_len].reshape(
+        S, n_classes, alphabet_len)
+    p = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=jnp.float32)
+    head_err = onehot[:, None, :] - p                     # [S, C, A]
+    is_target = (jnp.arange(n_classes)[None, :] ==
+                 target_class[:, None])                   # [S, C]
+    leak = jax.random.uniform(lk, (S, n_classes)) < leakage
+    active = (is_target | leak).astype(jnp.float32)
+    o_err = head_err * active[:, :, None]
+    o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
+    o_error = o_error.at[:, :n_classes * alphabet_len].set(
+        o_err.reshape(S, -1))
+
+    # err on the target head at the target char = 1 - p_target
+    p_t = jnp.take_along_axis(
+        jnp.take_along_axis(p, target_class[:, None, None], axis=1)[:, 0, :],
+        y_tok[:, None], axis=1)[:, 0]
+
+    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+                    bptt.min_error_factor, bptt.learn_rate)
+
+    gen = bptt.generation + 1
+    ih_acc = bptt.ih_delta + d.ih_delta
+    ho_acc = bptt.ho_delta + d.ho_delta
+    apply_now = (gen % hyper.batch_size) == 0 if hyper.batch_size > 1 else True
+
+    def do_apply(args):
+        params, bptt = args
+        p2, b2 = apply_learning(cfg, params, bptt, ih_acc, ho_acc, None,
+                                hyper.learning_style, momentum,
+                                hyper.bottom_learn_rate_scale)
+        b2 = dataclasses.replace(b2, ih_delta=jnp.zeros_like(ih_acc),
+                                 ho_delta=jnp.zeros_like(ho_acc))
+        return p2, b2
+
+    if hyper.batch_size > 1:
+        def no_apply(args):
+            params, bptt = args
+            return params, dataclasses.replace(bptt, ih_delta=ih_acc,
+                                               ho_delta=ho_acc)
+        params, bptt = jax.lax.cond(apply_now, do_apply, no_apply,
+                                    (params, bptt))
+    else:
+        params, bptt = do_apply((params, bptt))
+    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               generation=gen)
+    if hyper.condition:
+        params, bptt = condition_net(cfg, params, bptt, ck)
+    stats = MultiStats(error=1.0 - p_t, entropy=-capped_log2(p_t))
+    return params, bptt, state, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))
+def multihead_train_chunk(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
+                          params, bptt, state, tokens, target_class,
+                          leakage, key, momentum_target, presynaptic_noise):
+    """Scan multihead_train_step over a [S, T+1] token block.
+    target_class: [S]."""
+    S, T1 = tokens.shape
+    T = T1 - 1
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
+    ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
+    keys = jax.random.split(key, T)
+
+    def body(carry, inp):
+        params, bptt, state = carry
+        x_tok, y_tok, k = inp
+        params, bptt, state, stats = multihead_train_step(
+            cfg, hyper, alphabet_len, params, bptt, state, x_tok, y_tok,
+            target_class, leakage, k, momentum_target, presynaptic_noise)
+        return (params, bptt, state), jax.tree.map(jnp.sum, stats)
+
+    (params, bptt, state), stats = jax.lax.scan(
+        body, (params, bptt, state), (xs, ys, keys))
+    return params, bptt, state, jax.tree.map(jnp.sum, stats)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def multihead_spin(cfg: RnnConfig, params: RnnParams, alphabet_len: int,
+                   state: RnnState, tokens):
+    """rnn_char_multitext_spin (charmodel-multi-predict.c:283-304): run text
+    through the net updating state/history without training."""
+    xs = jnp.moveaxis(tokens, 1, 0)
+
+    def body(state, x_tok):
+        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, state.hidden, x)
+        state2 = advance_history(state, fwd.input_row)
+        return RnnState(hidden=fwd.hidden, history=state2.history,
+                        head=state2.head), None
+
+    state, _ = jax.lax.scan(body, state, xs)
+    return state
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def multihead_cross_entropy(cfg: RnnConfig, params: RnnParams,
+                            alphabet_len: int, tokens, ignore_start: int):
+    """rnn_char_multi_cross_entropy (charmodel-multi-predict.c:350-372):
+    per-class mean -log2 p(next char).  tokens: [S, T] (S independent
+    texts); returns [S, n_classes]."""
+    n_classes = cfg.output_size // alphabet_len
+    S, T = tokens.shape
+    hidden = jnp.zeros((S, cfg.h_size), jnp.float32)
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
+
+    def body(h, x_tok):
+        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, h, x)
+        return fwd.hidden, fwd.output
+
+    hidden, outs = jax.lax.scan(body, hidden, xs)     # outs [T-1, S, o]
+    logits = outs[:, :, :n_classes * alphabet_len].reshape(
+        T - 1, S, n_classes, alphabet_len)
+    logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
+    tgt = jnp.moveaxis(tokens[:, 1:], 1, 0)           # [T-1, S]
+    p2 = jnp.take_along_axis(
+        logp2, tgt[:, :, None, None].repeat(n_classes, axis=2),
+        axis=-1)[..., 0]                              # [T-1, S, C]
+    p2 = jnp.maximum(p2, -100.0)
+    mask = (jnp.arange(T - 1) >= ignore_start).astype(jnp.float32)
+    ent = -(p2 * mask[:, None, None]).sum(axis=0) / mask.sum()
+    return ent

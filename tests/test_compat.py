@@ -1,0 +1,158 @@
+"""Tests of the charmodel / rnnumpy compat APIs, mirroring the reference's
+test/charmodel.py (fixture load) and test/rnnumpy.py (stripe learning)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from recur_tpu.compat.charmodel import Alphabet, Net as CharNet
+from recur_tpu.compat.rnnumpy import Net as NumpyNet
+
+FIXTURE = "/root/reference/test/multi-text-6c34c563i73-h99-o3650.net"
+
+
+class TestAlphabet:
+    def test_from_chars(self):
+        a = Alphabet(alphabet_chars="8 abc", collapse_chars="xyz")
+        assert a.alphabet == "8 abc"
+        assert a.collapsed_chars == "xyz"
+        assert len(a) == 5
+
+    def test_find_and_encode(self):
+        text = b"hello world, hello again " * 50
+        a = Alphabet(text, threshold=1e-3, collapse_space=True)
+        enc = a.encode_text(b"hello")
+        assert len(enc) == 5
+        assert a.decode_text(enc) == "hello"
+
+    def test_get_codepoint(self):
+        a = Alphabet(alphabet_chars="8 abc")
+        assert a.get_codepoint("a") == 2
+        assert a.get_codepoint("Z") == -1
+
+
+class TestCharNet:
+    def make(self, **kw):
+        a = Alphabet(alphabet_chars=" abcdefgh")
+        kw.setdefault("log_file", None)
+        kw.setdefault("presynaptic_noise", 0.0)
+        return a, CharNet(a, ["one", "two"], 15, bptt_depth=8,
+                          rng_seed=4, **kw)
+
+    def test_ctor_surface(self):
+        a, net = self.make()
+        assert net.n_classes == 2
+        assert net.class_name_lut == {"one": 0, "two": 1}
+        assert net.net.cfg.output_size == 2 * len(a)
+        assert net.learn_rate > 0
+        net.learn_rate = 0.5
+        assert abs(net.learn_rate - 0.5) < 1e-6
+
+    def test_train_and_test_separates_classes(self):
+        a, net = self.make(learn_rate=0.01)
+        text1 = a.encode_text(b"abab cdcd " * 40)
+        text2 = a.encode_text(b"efef ghgh " * 40)
+        for _ in range(10):
+            net.train(text1, "one", leakage=0.05)
+            net.train(text2, "two", leakage=0.05)
+        t1 = net.test(text1)
+        t2 = net.test(text2)
+        assert t1["one"] < t1["two"], t1
+        assert t2["two"] < t2["one"], t2
+
+    def test_train_unknown_class(self):
+        a, net = self.make()
+        with pytest.raises(KeyError):
+            net.train(a.encode_text(b"abcabc"), "nope")
+
+    def test_short_text(self):
+        a, net = self.make()
+        with pytest.raises(ValueError):
+            net.train(b"\x01", "one")
+
+    def test_confabulate(self):
+        a, net = self.make()
+        lines = net.confabulate(10)
+        assert len(lines) == 2
+        assert all(len(s) == 10 for s in lines)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        a, net = self.make()
+        md = {"version": 1, "alphabet": a.alphabet, "collapse_chars": "",
+              "case_insensitive": 0, "utf8": 0, "collapse_space": 0,
+              "classnames": ["one", "two"], "batch_size": 1, "verbose": 0,
+              "momentum": 0.95, "learning_method": 4,
+              "temporal_pgm_dump": 0, "periodic_pgm_dump": "",
+              "periodic_pgm_period": 0, "basename": "t"}
+        net.net.metadata = json.dumps(md)
+        p = tmp_path / "t.net"
+        net.save(str(p))
+        net2 = CharNet.load(str(p), json.loads)
+        assert net2.class_names == ["one", "two"]
+        assert net2.net.cfg.hidden_size == 15
+        np.testing.assert_array_equal(np.asarray(net2._params.ih),
+                                      np.asarray(net._params.ih))
+
+    @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
+    def test_load_reference_fixture(self):
+        """The shipped caravel net loads through the same path the reference
+        Python module uses (json metadata, 50 classes, h=99)."""
+        net = CharNet.load(FIXTURE, json.loads)
+        assert net.n_classes == 50
+        assert net.net.cfg.hidden_size == 99
+        assert len(net.alphabet) == 73
+        # scoring some text yields finite per-class entropies
+        enc = net.alphabet.encode_text(b"the war in the desert was long")
+        scores = net.test(enc)
+        assert len(scores) == 50
+        assert all(np.isfinite(v) for v in scores.values())
+
+
+class TestNumpyNet:
+    def test_stripe_learning(self):
+        """test/rnnumpy.py's diagonal-stripe task: predict a rotating one-hot
+        pattern; must beat the degenerate 1/width baseline clearly."""
+        width = 6
+        T = 600
+        idx = np.arange(T) % width
+        feats = np.eye(width, dtype=np.float32)[idx]
+        targs = np.eye(width, dtype=np.float32)[(idx + 1) % width]
+        net = NumpyNet(width, 23, width, rng_seed=3, bptt_depth=10,
+                       learn_rate=0.05, batch_size=1)
+        net.train(feats, targs, n_epochs=8)
+        probs = net.classify(feats[:120])
+        acc = float(np.mean(np.argmax(probs, axis=1) == (idx[:120] + 1) % width))
+        assert acc > 0.8, f"stripe accuracy {acc}"
+
+    def test_mask_and_balance(self):
+        width = 4
+        feats = np.eye(width, dtype=np.float32)[np.arange(40) % width]
+        targs = feats.copy()
+        net = NumpyNet(width, 9, width, rng_seed=3)
+        mask = np.ones(40, bool)
+        mask[::2] = False
+        net.train(feats, targs, n_epochs=1, mask=mask, balance=1.0)
+        assert net.seen_sum == 20  # masked rows don't count
+        assert 0 < net.used_sum <= 20
+
+    def test_bad_shapes(self):
+        net = NumpyNet(4, 9, 4)
+        with pytest.raises(ValueError):
+            net.train(np.zeros((10, 5), np.float32),
+                      np.zeros((10, 4), np.float32), 1)
+        with pytest.raises(ValueError):
+            net.train(np.zeros((10, 4), np.float32),
+                      np.zeros((9, 4), np.float32), 1)
+
+    def test_save_load(self, tmp_path):
+        net = NumpyNet(4, 9, 4, rng_seed=7)
+        p = tmp_path / "n.net"
+        net.save(str(p))
+        net2 = NumpyNet.load(str(p))
+        np.testing.assert_array_equal(np.asarray(net2._params.ih),
+                                      np.asarray(net._params.ih))
