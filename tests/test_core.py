@@ -94,7 +94,9 @@ def test_training_trajectory_matches_oracle():
     o, cfg, params, state, bptt = make_pair(output_size=5, seed=11)
     hyper = TrainHyper(condition=False)  # oracle has no conditioning
     rng = np.random.default_rng(4)
-    toks = rng.integers(0, cfg.input_size, size=60)
+    # ~35 steps stays under the chaos horizon (ReLU boundaries amplify f32
+    # rounding; run-to-run XLA scheduling differences show up past ~50 steps)
+    toks = rng.integers(0, cfg.input_size, size=36)
     key = jax.random.PRNGKey(0)
     mom = jnp.float32(o.momentum)
 
