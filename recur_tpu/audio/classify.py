@@ -1,0 +1,603 @@
+"""Streaming audio classification: the gstclassify element rebuilt as a
+host-side ring buffer + jitted window-batch training.
+
+The reference (gstclassify.c) trains one subnet per interleaved channel on
+half-overlapped MFCC windows at real-time rate.  Here channels are the stream
+axis and whole *chunks of windows* are one device call: PCM [T, C, window] →
+(mel/MFCC + Δ features) → scan of RNN train steps, so feature extraction and
+training fuse into a single XLA program.
+
+Capabilities kept from the element's ~50 properties: class groups
+("Mm,Kk,Wx" = independent softmaxes, gstclassify.c:709-748), target event
+strings ("c0t2.3:mkW", :1382-1541), error weighting, balanced training
+(:2205-2215 — probabilities are recomputed per chunk instead of per window;
+decisions run on-device), ignored windows, training lag, feature
+offset/scale normalisation, Δ features and the intensity feature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import nn
+from recur_tpu.engine import TrainHyper
+from recur_tpu.dsp.mfcc import AudioBinner
+from recur_tpu.dsp.windows import WindowType
+from recur_tpu.nn import Activation, Flag, LearningMethod
+from recur_tpu.ops import init as winit
+from recur_tpu.ops.core import advance_history, calc_deltas, forward_step
+from recur_tpu.ops.conditioning import condition_net
+from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
+from recur_tpu.utils.hashing import rnn_hash32
+from recur_tpu.utils.kvlog import KvLog
+
+CLASSIFY_RATE = 8000
+CLASSIFY_N_FFT_BINS = 40
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassGroup:
+    classes: str
+    offset: int
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.classes)
+
+
+def parse_classes_string(s: str) -> list[ClassGroup]:
+    """"Mm,Kk,Wx" → groups of independent softmax classes
+    (parse_classes_string, gstclassify.c:727-748).  Offsets count commas the
+    way the reference does (group offset = position in the string)."""
+    groups = []
+    offset = 0
+    for part in s.split(","):
+        groups.append(ClassGroup(classes=part, offset=offset))
+        offset += len(part) + 1
+    # re-pack offsets contiguously (the reference's offset includes the
+    # commas' slots, wasting output cells; we keep them dense)
+    dense = []
+    offset = 0
+    for g in groups:
+        dense.append(ClassGroup(classes=g.classes, offset=offset))
+        offset += g.n_classes
+    return dense
+
+
+class ClassEvent(NamedTuple):
+    window_no: int
+    channel: int
+    group: int
+    target: int    # -1 = no training
+
+
+def parse_target_string(s: str, groups: list[ClassGroup], n_channels: int,
+                        window_size: int, lag: float = 0.0,
+                        rate: int = CLASSIFY_RATE) -> list[ClassEvent]:
+    """The c<chan>t<time>:<targets> grammar (gstclassify.c:1431-1541).
+    Targets per event: one char per group — a class letter, '=' (no change)
+    or '-' (stop training)."""
+    time_to_window_no = rate * 2.0 / window_size
+    events: list[ClassEvent] = []
+    for phrase in s.split():
+        m = re.match(r"^c(\d+)t([0-9.eE+-]+):(.*)$", phrase)
+        if not m:
+            raise ValueError(f"can't parse target phrase {phrase!r}")
+        channel = int(m.group(1))
+        if not (0 <= channel < n_channels):
+            raise ValueError(f"channel {channel} out of range in {phrase!r}")
+        t = float(m.group(2))
+        window_no = int((t + lag) * time_to_window_no + 0.5)
+        if window_no < 0:
+            raise ValueError(f"negative window in {phrase!r}")
+        targets = m.group(3)
+        if len(targets) != len(groups):
+            raise ValueError(f"{phrase!r} has {len(targets)} targets for "
+                             f"{len(groups)} groups")
+        for j, (ch, g) in enumerate(zip(targets, groups)):
+            if ch == "=":
+                continue
+            if ch == "-":
+                events.append(ClassEvent(window_no, channel, j, -1))
+            else:
+                k = g.classes.find(ch)
+                if k < 0:
+                    raise ValueError(f"class {ch!r} not in group "
+                                     f"{g.classes!r}")
+                events.append(ClassEvent(window_no, channel, j, k))
+    events.sort()
+    return events
+
+
+def targets_for_windows(events: list[ClassEvent], start_window: int, T: int,
+                        n_channels: int, n_groups: int,
+                        current: np.ndarray) -> np.ndarray:
+    """Materialise per-window targets [T, C, G] from the event list, starting
+    from the `current` [C, G] state (which is updated in place to the state
+    after window start_window+T-1)."""
+    out = np.empty((T, n_channels, n_groups), np.int32)
+    ei = 0
+    while ei < len(events) and events[ei].window_no <= start_window:
+        ev = events[ei]
+        current[ev.channel, ev.group] = ev.target
+        ei += 1
+    evs = [e for e in events if start_window < e.window_no]
+    it = iter(evs)
+    nxt = next(it, None)
+    for t in range(T):
+        w = start_window + t
+        while nxt is not None and nxt.window_no <= w:
+            current[nxt.channel, nxt.group] = nxt.target
+            nxt = next(it, None)
+        out[t] = current
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device step
+# ---------------------------------------------------------------------------
+
+class WindowStats(NamedTuple):
+    error: jax.Array      # scalar: Σ (1 - p_target) over trained groups
+    correct: jax.Array    # scalar: Σ winner==target
+    trained: jax.Array    # scalar: groups trained
+    seen: jax.Array       # [o_size]: seen counts this window
+    used: jax.Array       # [o_size]: used counts this window
+
+
+def _group_masks(cfg, groups: list[ClassGroup]):
+    """Static [G, o_size] one-hot span masks."""
+    G = len(groups)
+    m = np.zeros((G, cfg.o_size), np.float32)
+    for i, g in enumerate(groups):
+        m[i, g.offset:g.offset + g.n_classes] = 1.0
+    return jnp.asarray(m), jnp.asarray(
+        np.array([g.offset for g in groups], np.int32)), jnp.asarray(
+        np.array([g.n_classes for g in groups], np.int32))
+
+
+def classify_window_step(cfg, hyper, groups, params, bptt, state,
+                         features, targets, train_p, error_weight,
+                         window_live, key, momentum_target,
+                         presynaptic_noise):
+    """One analysis window across C channels (train_channel + the
+    apply/condition tail of maybe_learn, gstclassify.c:2070-2254).
+
+    features: [C, n_features]; targets: [C, G] int (-1 = no train);
+    train_p: [o_size] balanced-training keep-probabilities (1.0 = always);
+    error_weight: [o_size]; window_live: scalar bool (ignored_windows gate).
+    """
+    C = features.shape[0]
+    G = len(groups)
+    gmask, goff, gn = _group_masks(cfg, groups)
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    nk, bk, ck = jax.random.split(key, 3)
+    fwd = forward_step(cfg, params, state.hidden, features,
+                       noise_key=nk if hyper.use_noise else None,
+                       presynaptic_noise=presynaptic_noise)
+    state = advance_history(state, fwd.input_row)
+    state = nn.RnnState(hidden=fwd.hidden, history=state.history,
+                        head=state.head)
+
+    logits = fwd.output[:, :cfg.o_size]
+    # per-group masked softmax: set out-of-group logits to -inf per group
+    lg = jnp.where(gmask[None, :, :] > 0, logits[:, None, :], -jnp.inf)
+    p = jax.nn.softmax(lg, axis=-1)                    # [C, G, o_size]
+    p = jnp.where(gmask[None, :, :] > 0, p, 0.0)
+    winner_abs = jnp.argmax(lg, axis=-1)               # [C, G] absolute idx
+    winner = winner_abs - goff[None, :]
+
+    valid = (targets >= 0) & (targets < gn[None, :]) & window_live
+    tgt_abs = jnp.clip(targets, 0) + goff[None, :]     # [C, G]
+    # balanced-training keep decision per (channel, group)
+    keep_p = jnp.take(train_p, tgt_abs)                # [C, G]
+    u = jax.random.uniform(bk, (C, G))
+    keep = valid & (keep_p > u)
+
+    onehot = jax.nn.one_hot(tgt_abs, cfg.o_size, dtype=jnp.float32)
+    err = (onehot - p) * keep[:, :, None].astype(jnp.float32)
+    o_error = err.sum(axis=1)                          # [C, o_size]
+    o_error = o_error * error_weight[None, :]
+
+    p_t = jnp.take_along_axis(p, tgt_abs[:, :, None], axis=-1)[..., 0]
+    err_sum = jnp.sum((1.0 - p_t) * keep)
+    correct = jnp.sum((winner == targets) & keep)
+    trained = jnp.sum(keep)
+
+    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+                    bptt.min_error_factor, bptt.learn_rate)
+
+    def do_apply(args):
+        params, bptt = args
+        return apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
+                              d.bottom_delta, hyper.learning_style, momentum,
+                              hyper.bottom_learn_rate_scale)
+
+    params, bptt = jax.lax.cond(err_sum > 0, do_apply,
+                                lambda a: a, (params, bptt))
+    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               generation=bptt.generation + 1)
+    if hyper.condition:
+        params, bptt = condition_net(cfg, params, bptt, ck)
+
+    seen_oh = jax.nn.one_hot(tgt_abs, cfg.o_size, dtype=jnp.float32) \
+        * valid[:, :, None]
+    used_oh = jax.nn.one_hot(tgt_abs, cfg.o_size, dtype=jnp.float32) \
+        * keep[:, :, None]
+    stats = WindowStats(error=err_sum, correct=correct.astype(jnp.float32),
+                        trained=trained.astype(jnp.float32),
+                        seen=seen_oh.sum(axis=(0, 1)),
+                        used=used_oh.sum(axis=(0, 1)))
+    return params, bptt, state, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))
+def classify_train_windows(cfg, hyper, groups, params, bptt, state,
+                           features, targets, train_p, error_weight,
+                           window_live, key, momentum_target,
+                           presynaptic_noise):
+    """Scan over T windows.  features: [T, C, F]; targets: [T, C, G];
+    window_live: [T] bool."""
+    T = features.shape[0]
+    keys = jax.random.split(key, T)
+
+    def body(carry, inp):
+        params, bptt, state = carry
+        f, t, live, k = inp
+        params, bptt, state, stats = classify_window_step(
+            cfg, hyper, groups, params, bptt, state, f, t, train_p,
+            error_weight, live, k, momentum_target, presynaptic_noise)
+        return (params, bptt, state), stats
+
+    (params, bptt, state), stats = jax.lax.scan(
+        body, (params, bptt, state), (features, targets, window_live, keys))
+    return params, bptt, state, jax.tree.map(lambda x: x.sum(0), stats)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def classify_opine_windows(cfg, groups, params, hidden, features):
+    """Inference over T windows (emit_opinions, gstclassify.c:2259-2291):
+    returns per-window per-channel per-group probabilities and winners."""
+    gmask, goff, gn = _group_masks(cfg, groups)
+
+    def body(h, f):
+        fwd = forward_step(cfg, params, h, f)
+        logits = fwd.output[:, :cfg.o_size]
+        lg = jnp.where(gmask[None, :, :] > 0, logits[:, None, :], -jnp.inf)
+        p = jax.nn.softmax(lg, axis=-1)
+        p = jnp.where(gmask[None, :, :] > 0, p, 0.0)
+        winner = jnp.argmax(lg, axis=-1) - goff[None, :]
+        return fwd.hidden, (p, winner)
+
+    hidden, (probs, winners) = jax.lax.scan(body, hidden, features)
+    return hidden, probs, winners
+
+
+# ---------------------------------------------------------------------------
+# the harness
+# ---------------------------------------------------------------------------
+
+class AudioClassifier:
+    """The classify element + its streaming loop.
+
+    Feed interleaved (or [C, N]) s16/f32 PCM with feed(); each half-window
+    boundary produces one analysis window per channel.  In training mode
+    windows train the net; otherwise opinions are returned as dicts (the bus
+    message equivalent, gstclassify.c:1937-1980).
+    """
+
+    def __init__(self, classes: str, n_channels: int = 1,
+                 window_size: int = 256, hidden_size: int = 199,
+                 mfccs: int = 0, delta_features: int = 0,
+                 intensity_feature: int = 0,
+                 min_frequency: float = 100.0, max_frequency: float = 0.0,
+                 knee_frequency: float = 700.0, focus_frequency: float = 0.0,
+                 lag: float = 0.0, ignored_windows: int = 0,
+                 learn_rate: float = 0.0001, momentum: float = 0.95,
+                 momentum_soft_start: float = 0.0,
+                 learning_style: int = int(LearningMethod.MOMENTUM_NESTEROV),
+                 activation: int = int(Activation.RELU),
+                 presynaptic_noise: float = 0.0, bptt_depth: int = 30,
+                 bottom_layer: int = 0, error_weight: Optional[str] = None,
+                 balanced_training_bias: float = 0.0,
+                 weight_init_method: int = 1, rng_seed: int = 11,
+                 basename: str = "classify", net_filename: Optional[str] = None,
+                 force_load: bool = False, log_file: Optional[str] = None,
+                 audio_rate: int = CLASSIFY_RATE,
+                 window_type: WindowType = WindowType.HANN):
+        self.groups = parse_classes_string(classes)
+        self.classes_string = classes
+        self.n_channels = n_channels
+        self.window_size = window_size
+        self.rate = audio_rate
+        self.lag = lag
+        self.ignored_windows = ignored_windows
+        self.balanced_training_bias = balanced_training_bias
+        self.momentum = momentum
+        max_frequency = max_frequency or audio_rate * 0.499
+        self.min_frequency = min_frequency
+        self.max_frequency = max_frequency
+        self.knee_frequency = knee_frequency
+        self.focus_frequency = focus_frequency
+        self.mfccs = mfccs
+        self.delta_features = delta_features
+        self.intensity_feature = intensity_feature
+        self.binner = AudioBinner(
+            window_size, window_type,
+            mfccs if mfccs else CLASSIFY_N_FFT_BINS,
+            min_frequency, max_frequency, knee_frequency, focus_frequency,
+            audio_rate, value_size=2)
+        n_raw = (mfccs if mfccs else CLASSIFY_N_FFT_BINS) + intensity_feature
+        self.n_raw_features = n_raw
+        self.n_features = n_raw * (1 + delta_features)
+        n_outputs = sum(g.n_classes for g in self.groups)
+
+        metadata = self._construct_metadata()
+        self.net_filename = net_filename or self._default_filename(
+            basename, hidden_size, bottom_layer, n_outputs, metadata)
+
+        flags = Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR
+        if learning_style in (LearningMethod.ADADELTA, LearningMethod.RPROP):
+            flags |= Flag.AUX_ARRAYS
+        import os
+        if force_load and os.path.exists(self.net_filename):
+            self.net = nn.load_net(self.net_filename)
+        else:
+            self.net = nn.new_net(
+                self.n_features, hidden_size, n_outputs, flags=flags,
+                rng_seed=rng_seed, depth=bptt_depth, learn_rate=learn_rate,
+                momentum=momentum, presynaptic_noise=presynaptic_noise,
+                activation=Activation(activation),
+                bottom_input_size=self.n_features if bottom_layer else 0,
+                metadata=metadata)
+            p = winit.default_init_params(self.net.cfg)
+            winit.randomise_weights(self.net, p)
+        cfg = self.net.cfg
+        self.hyper = TrainHyper(
+            learning_style=LearningMethod(learning_style),
+            momentum_soft_start=momentum_soft_start,
+            use_noise=presynaptic_noise > 0.0,
+            condition=True)   # gstclassify conditions every window
+        self.params = self.net.params
+        self.bptt = nn.new_bptt_state(cfg, n_channels, learn_rate=learn_rate,
+                                      momentum=momentum)
+        self.bptt = dataclasses.replace(
+            self.bptt, generation=jnp.uint32(self.net.generation))
+        self.state = nn.new_state(cfg, n_channels)
+        self.key = jax.random.PRNGKey(rng_seed)
+        self.log = KvLog(log_file)
+
+        # feature normalisation (gstclassify.c:2040-2051)
+        self.feature_offsets = np.zeros(self.n_features, np.float32)
+        self.feature_scales = np.ones(self.n_features, np.float32)
+        # error weighting
+        ew = np.ones(cfg.o_size, np.float32)
+        if error_weight:
+            vals = [float(x) for x in error_weight.split(":")]
+            ew[:len(vals)] = vals
+        self.error_weight = jnp.asarray(ew)
+        # streaming state
+        self.training = True
+        self.window_no = 0
+        self._pcm_tail = np.zeros((n_channels, window_size // 2), np.float32)
+        self._pending = np.zeros((n_channels, 0), np.float32)
+        self._prev_features = np.zeros(
+            (max(delta_features, 1), n_channels, n_raw), np.float32)
+        self.events: list[ClassEvent] = []
+        self._current_targets = np.full(
+            (n_channels, len(self.groups)), -1, np.int32)
+        self.seen_counts = np.zeros(cfg.o_size, np.float64)
+        self.used_counts = np.zeros(cfg.o_size, np.float64)
+
+    # -- metadata / filename (set_net_filename, gstclassify.c:688-705) --
+    def _construct_metadata(self) -> str:
+        return ("classes %s\nwindow_size %d\nmfccs %d\n"
+                "delta_features %d\nintensity_feature %d\nlag %f\n"
+                "min_frequency %f\nmax_frequency %f\nknee_frequency %f\n"
+                "focus_frequency %f\n" % (
+                    self.classes_string, self.window_size, self.mfccs,
+                    self.delta_features, self.intensity_feature, self.lag,
+                    self.min_frequency, self.max_frequency,
+                    self.knee_frequency, self.focus_frequency))
+
+    def _default_filename(self, basename, hidden_size, bottom_layer,
+                          n_outputs, metadata) -> str:
+        sig = rnn_hash32(metadata)
+        if bottom_layer:
+            return (f"{basename}-{sig:x}-i{self.n_features}-b{bottom_layer}"
+                    f"-h{hidden_size}-o{n_outputs}-{self.rate}Hz"
+                    f"-w{self.window_size}.net")
+        return (f"{basename}-{sig:x}-i{self.n_features}-h{hidden_size}"
+                f"-o{n_outputs}-{self.rate}Hz-w{self.window_size}.net")
+
+    # -- property-style setters --
+    def set_target_string(self, s: str):
+        self.events = parse_target_string(s, self.groups, self.n_channels,
+                                          self.window_size, self.lag,
+                                          self.rate)
+
+    def set_feature_normalisation(self, offsets=None, scales=None):
+        if offsets is not None:
+            self.feature_offsets[:len(offsets)] = offsets
+        if scales is not None:
+            self.feature_scales[:len(scales)] = scales
+
+    @property
+    def generation(self) -> int:
+        return int(self.bptt.generation)
+
+    @property
+    def learn_rate(self) -> float:
+        return float(self.bptt.learn_rate)
+
+    @learn_rate.setter
+    def learn_rate(self, v: float):
+        self.bptt = dataclasses.replace(self.bptt, learn_rate=jnp.float32(v))
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # -- streaming --
+    def feed(self, pcm: np.ndarray) -> list[dict]:
+        """Feed PCM.  Accepts interleaved 1-D (length divisible by
+        n_channels) or [C, N] arrays, s16 or float.  Returns opinion dicts
+        when not training (empty list while training)."""
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            pcm = pcm.astype(np.float32)
+        if pcm.ndim == 1:
+            pcm = pcm.reshape(-1, self.n_channels).T
+        self._pending = np.concatenate([self._pending,
+                                        pcm.astype(np.float32)], axis=1)
+        half = self.window_size // 2
+        n_windows = self._pending.shape[1] // half
+        if n_windows == 0:
+            return []
+        chunks, self._pending = (self._pending[:, :n_windows * half],
+                                 self._pending[:, n_windows * half:])
+        # build [T, C, window] frames: window = tail + new half
+        frames = np.empty((n_windows, self.n_channels, self.window_size),
+                          np.float32)
+        tail = self._pcm_tail
+        for t in range(n_windows):
+            new = chunks[:, t * half:(t + 1) * half]
+            frames[t, :, :half] = tail
+            frames[t, :, half:] = new
+            tail = new
+        self._pcm_tail = tail.copy()
+        if self.training:
+            self._train_frames(frames)
+            return []
+        return self._opine_frames(frames)
+
+    def _features_for_frames(self, frames: np.ndarray) -> jax.Array:
+        """[T, C, window] → [T, C, n_features] with Δ features and
+        normalisation (pcm_to_features, gstclassify.c:1983-2051)."""
+        T, C, _ = frames.shape
+        x = jnp.asarray(frames)
+        if self.mfccs:
+            raw = self.binner.mfccs(x)[..., 1 - self.intensity_feature:
+                                       1 - self.intensity_feature
+                                       + self.n_raw_features]
+        else:
+            bins = self.binner.log_freq_bins(x)
+            if self.intensity_feature:
+                inten = bins.mean(axis=-1, keepdims=True)
+                raw = jnp.concatenate([bins, inten], axis=-1)
+            else:
+                raw = bins
+        feats = raw
+        if self.delta_features:
+            # successive discrete time-differences, one block per order
+            ds = [raw]
+            cur = raw
+            for order in range(self.delta_features):
+                prev = jnp.concatenate(
+                    [jnp.asarray(self._prev_features[order])[None], cur[:-1]],
+                    axis=0)
+                self._prev_features[order] = np.asarray(cur[-1])
+                cur = cur - prev
+                ds.append(cur)
+            feats = jnp.concatenate(ds, axis=-1)
+        feats = (feats - jnp.asarray(self.feature_offsets)) \
+            * jnp.asarray(self.feature_scales)
+        return feats
+
+    def _train_frames(self, frames: np.ndarray):
+        T = frames.shape[0]
+        feats = self._features_for_frames(frames)
+        targets = targets_for_windows(self.events, self.window_no, T,
+                                      self.n_channels, len(self.groups),
+                                      self._current_targets)
+        live = (np.arange(self.window_no, self.window_no + T)
+                >= self.ignored_windows)
+        self.window_no += T
+        # balanced-training probabilities from running counts (per chunk)
+        o_size = self.net.cfg.o_size
+        if self.balanced_training_bias:
+            scale = 1.0 / (self.seen_counts.sum() + 1.0)
+            p = (1.0 - self.seen_counts * scale) ** self.balanced_training_bias
+            train_p = jnp.asarray(p.astype(np.float32))
+        else:
+            train_p = jnp.ones(o_size, jnp.float32)
+        self.params, self.bptt, self.state, stats = classify_train_windows(
+            self.net.cfg, self.hyper, tuple(self.groups),
+            self.params, self.bptt, self.state,
+            feats, jnp.asarray(targets), train_p, self.error_weight,
+            jnp.asarray(live), self._next_key(), jnp.float32(self.momentum),
+            jnp.float32(self.net.cfg.presynaptic_noise))
+        self.seen_counts += np.asarray(stats.seen, np.float64)
+        self.used_counts += np.asarray(stats.used, np.float64)
+        trained = max(float(stats.trained), 1.0)
+        self.log.log_int("window", self.window_no)
+        self.log.log_int("generation", self.generation)
+        self.log.log_float("error", float(stats.error) / trained)
+        self.log.log_float("correct", float(stats.correct) / trained)
+
+    def _opine_frames(self, frames: np.ndarray) -> list[dict]:
+        T = frames.shape[0]
+        feats = self._features_for_frames(frames)
+        targets = targets_for_windows(self.events, self.window_no, T,
+                                      self.n_channels, len(self.groups),
+                                      self._current_targets)
+        hidden, probs, winners = classify_opine_windows(
+            self.net.cfg, tuple(self.groups), self.params, self.state.hidden,
+            feats)
+        self.state = dataclasses.replace(self.state, hidden=hidden)
+        probs = np.asarray(probs)      # [T, C, G, o_size]
+        winners = np.asarray(winners)  # [T, C, G]
+        window_to_secs = self.window_size * 0.5 / self.rate
+        out = []
+        for t in range(T):
+            w = self.window_no + t
+            if w < self.ignored_windows:
+                continue
+            msg = {"time": w * window_to_secs - self.lag}
+            err_sum, n_err = 0.0, 0
+            for c in range(self.n_channels):
+                for gi, g in enumerate(self.groups):
+                    for k, ch in enumerate(g.classes):
+                        msg[f"channel {c}, group {gi} {ch}"] = float(
+                            probs[t, c, gi, g.offset + k])
+                    tgt = targets[t, c, gi]
+                    win = int(winners[t, c, gi])
+                    if 0 <= win < g.n_classes:
+                        msg[f"channel {c}, group {gi} winner"] = g.classes[win]
+                    if 0 <= tgt < g.n_classes:
+                        msg[f"channel {c}, group {gi} target"] = \
+                            g.classes[tgt]
+                        msg[f"channel {c}, group {gi} correct"] = int(
+                            win == tgt)
+                        err_sum += 1.0 - probs[t, c, gi, g.offset + tgt]
+                        n_err += 1
+            msg["error"] = err_sum / n_err if n_err else 0.0
+            out.append(msg)
+        self.window_no += T
+        return out
+
+    def reset_state(self):
+        """Forget hidden state/history between files (the element gets a
+        stream restart)."""
+        self.state = nn.new_state(self.net.cfg, self.n_channels)
+        self._pcm_tail[:] = 0
+        self._pending = np.zeros((self.n_channels, 0), np.float32)
+        self._prev_features[:] = 0
+        self.window_no = 0
+        self._current_targets[:] = -1
+
+    def save(self, filename: Optional[str] = None):
+        self.net.params = self.params
+        self.net.generation = self.generation
+        self.net.learn_rate = self.learn_rate
+        self.net.min_error_factor = float(self.bptt.min_error_factor[0])
+        nn.save_net(self.net, filename or self.net_filename, backup=True)
