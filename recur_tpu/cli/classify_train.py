@@ -1,0 +1,109 @@
+"""classify-train: train an audio classifier on labelled WAV files.
+
+Replaces the reference's classify-train (GStreamer pipeline driver).  Files
+are labelled by a `filename class` list file (one per line) or by the
+first-character-of-basename convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from recur_tpu.audio.classify import AudioClassifier
+from recur_tpu.audio.trainer import LabelledFile, Trainer, class_from_filename
+
+
+def load_file_list(path: str) -> list[LabelledFile]:
+    """Each line: `<wav-path> <target-chars>` or just `<wav-path>`."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 2:
+                out.append(LabelledFile(parts[0], parts[1]))
+            else:
+                out.append(LabelledFile(parts[0],
+                                        class_from_filename(parts[0])))
+    return out
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="classify-train", description=__doc__)
+    a = p.add_argument
+    a("--classes", "-c", required=True,
+      help="class group string, e.g. 'Mm' or 'Mm,Kk,Wx'")
+    a("--train-list", required=True, help="file list for training")
+    a("--test-list", required=True, help="file list for testing")
+    a("--channels", "-n", type=int, default=12)
+    a("--window-size", "-w", type=int, default=256)
+    a("--hidden-size", "-H", type=int, default=199)
+    a("--mfccs", type=int, default=0)
+    a("--delta-features", type=int, default=0)
+    a("--intensity-feature", type=int, default=0)
+    a("--min-frequency", type=float, default=100.0)
+    a("--max-frequency", type=float, default=0.0)
+    a("--knee-frequency", type=float, default=700.0)
+    a("--focus-frequency", type=float, default=0.0)
+    a("--lag", type=float, default=0.0)
+    a("--learn-rate", "-l", type=float, default=0.0001)
+    a("--learn-rate-decay", type=float, default=0.9)
+    a("--learn-rate-min", type=float, default=1e-6)
+    a("--learn-rate-schedule", default="sqrt-exponential",
+      choices=["flat", "sqrt-exponential", "inverse-time"])
+    a("--momentum", "-m", type=float, default=0.95)
+    a("--momentum-soft-start", type=float, default=0.0)
+    a("--learning-style", type=int, default=1)
+    a("--bptt-depth", type=int, default=30)
+    a("--bottom-layer", type=int, default=0)
+    a("--presynaptic-noise", type=float, default=0.0)
+    a("--balanced-training", type=float, default=0.0)
+    a("--error-weight", default=None)
+    a("--ignored-windows", type=int, default=0)
+    a("--basename", default="classify")
+    a("--net-filename", "-f", default=None)
+    a("--reload", action="store_true")
+    a("--log-file", default="classify.log")
+    a("--cycles", type=int, default=10)
+    a("--rng-seed", type=int, default=11)
+    a("--quiet", "-q", action="count", default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+    clf = AudioClassifier(
+        classes=opt.classes, n_channels=opt.channels,
+        window_size=opt.window_size, hidden_size=opt.hidden_size,
+        mfccs=opt.mfccs, delta_features=opt.delta_features,
+        intensity_feature=opt.intensity_feature,
+        min_frequency=opt.min_frequency, max_frequency=opt.max_frequency,
+        knee_frequency=opt.knee_frequency, focus_frequency=opt.focus_frequency,
+        lag=opt.lag, ignored_windows=opt.ignored_windows,
+        learn_rate=opt.learn_rate, momentum=opt.momentum,
+        momentum_soft_start=opt.momentum_soft_start,
+        learning_style=opt.learning_style, bptt_depth=opt.bptt_depth,
+        bottom_layer=opt.bottom_layer,
+        presynaptic_noise=opt.presynaptic_noise,
+        error_weight=opt.error_weight,
+        balanced_training_bias=opt.balanced_training,
+        rng_seed=opt.rng_seed, basename=opt.basename,
+        net_filename=opt.net_filename, force_load=opt.reload,
+        log_file=opt.log_file)
+    trainer = Trainer(clf, load_file_list(opt.train_list),
+                      load_file_list(opt.test_list),
+                      lr_schedule=opt.learn_rate_schedule,
+                      lr_decay=opt.learn_rate_decay,
+                      lr_min=opt.learn_rate_min, seed=opt.rng_seed,
+                      verbose=opt.quiet < 1)
+    result = trainer.run(opt.cycles)
+    if opt.quiet < 2:
+        print("final:", result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
