@@ -259,14 +259,19 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
     min_error_gain = MIN_ERROR_GAIN * top_scaled
     min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
 
-    # time-major history, newest first: ordered[t] is the input row at
-    # offset (head - t) mod depth  (recur-nn.c:329-332)
-    order = (state.head - jnp.arange(depth)) % depth
-    hist = jnp.moveaxis(jnp.take(state.history, order, axis=1), 1, 0)
-    # hist: [depth, S, i_size]
+    # The backward walk reads history rows newest-first from the ring
+    # (recur-nn.c:329-332).  Rather than materialising a reordered [D,S,i]
+    # copy (30MB+ of HBM traffic per step at production sizes), each scan
+    # step slices its row from the ring in place and writes its applied
+    # error into an [D,S,h] buffer AT THE SAME RING SLOT — the final
+    # gradient einsum contracts over all (d,s), so slot order is free.
+    eh_buf0 = jnp.zeros((S, depth, cfg.h_size), jnp.float32)
 
-    def step(carry, inputs_t):
-        e_h, active, last_err, k_active, cum_err, cie = carry
+    def step(carry, t):
+        e_h, active, last_err, k_active, cum_err, cie, eh_buf = carry
+        slot = (state.head - t) % depth
+        inputs_t = jax.lax.dynamic_slice_in_dim(
+            state.history, slot, 1, axis=1)[:, 0]        # [S, i]
         # zero bias slot + pads (recur-nn.c:334-337)
         e_h = e_h * hmask
         m = _row_mask(cfg, inputs_t)                     # [S, i_size]
@@ -276,8 +281,10 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         e_full = jnp.where(m, e_full, 0.0)
         err_sum = jnp.sum(e_full * e_full, axis=1)       # [S]
         act_f = active.astype(jnp.float32)
-        # ys: the error used for this step's delta, masked by active
+        # the error used for this step's delta, masked by active
         y_eh = e_h * act_f[:, None]
+        eh_buf = jax.lax.dynamic_update_slice_in_dim(
+            eh_buf, y_eh[:, None], slot, axis=1)
         # bottom-layer cumulative input error (recur-nn.c:377-382)
         if cie is not None:
             part = e_full[:, cfg.input_offset:cfg.input_offset + cfg.input_size]
@@ -288,16 +295,17 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
         active = active & ~trip
         e_h_next = e_full[:, :cfg.h_size]
-        return (e_h_next, active, last_err, k_active, cum_err, cie), y_eh
+        return (e_h_next, active, last_err, k_active, cum_err, cie,
+                eh_buf), None
 
     cie0 = (jnp.zeros((S, cfg.input_size), jnp.float32)
             if cfg.has_bottom else None)
     carry0 = (h_err0, jnp.ones((S,), bool),
               jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
-              jnp.zeros((S,), jnp.float32), cie0)
-    (e_h_fin, active_fin, last_err, k_active, cum_err, cie), eh_traj = \
-        jax.lax.scan(step, carry0, hist)
-    # eh_traj: [depth, S, h_size] — error actually applied at each step
+              jnp.zeros((S,), jnp.float32), cie0, eh_buf0)
+    (e_h_fin, active_fin, last_err, k_active, cum_err, cie, eh_traj), _ = \
+        jax.lax.scan(step, carry0, jnp.arange(depth))
+    # eh_traj: [S, depth, h_size] in RING-SLOT order (matches state.history)
 
     # ---- emergency scaling & adaptive min error (recur-nn.c:393-413) ----
     clipped = last_err > error_sum_ceiling
@@ -317,9 +325,12 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         cie = cie * jnp.where(clipped, ih_scale * ih_scale, 1.0)[:, None]
 
     # ---- the big gradient matmul: Σ_t Σ_s scale_s · input_t ⊗ e_h_t ----
-    hist_eff = jnp.where(_row_mask(cfg, hist), hist, 0.0)
-    eh_scaled = eh_traj * ih_scale[None, :, None]
-    ih_delta = jnp.einsum("dsi,dsh->ih", hist_eff, eh_scaled,
+    # For RELU/RESQRT the row mask is just `input != 0`, and where(x!=0,x,0)
+    # is x — no masked copy needed.  RECLIP20 additionally drops rows >= 20.
+    hist = state.history                                  # [S, D, i]
+    if cfg.activation == Activation.RECLIP20:
+        hist = jnp.where(_row_mask(cfg, hist), hist, 0.0)
+    ih_delta = jnp.einsum("sdi,sdh,s->ih", hist, eh_traj, ih_scale,
                           preferred_element_type=jnp.float32)
 
     # ---- bottom layer delta (recur-nn.c:750-764) ----
