@@ -86,7 +86,12 @@ def _randomise_flat(rng: RecurRng, array: np.ndarray, width: int, height: int,
                     offset: int, variance: float, shape: InitDistribution,
                     perforation: float):
     """randomise_array_flat (recur-nn-init.c:495-545); array is 2-D
-    [height+, stride] viewed in place."""
+    [height+, stride] viewed in place.  Uses the native C++ kernel when
+    available (same RNG call order), Python otherwise."""
+    from recur_tpu import native
+    if native.init_flat(rng, array, width, height, offset, variance,
+                        int(shape), perforation):
+        return
     stddev = math.sqrt(variance)
     for y in range(height):
         for x in range(offset, width + offset):

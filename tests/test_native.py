@@ -1,0 +1,91 @@
+"""Native C++ runtime helpers: build, and equivalence with the Python
+reference implementations."""
+
+import math
+
+import numpy as np
+import pytest
+
+from recur_tpu import native
+from recur_tpu.utils.rng import RecurRng
+
+pytestmark = pytest.mark.skipif(native.lib is None,
+                                reason="native lib unavailable")
+
+
+def test_rng_stream_bitexact():
+    py = RecurRng(1234)
+    st = native.RngT()
+    native.lib.rng_init(native.ctypes.byref(st), 1234)
+    out = np.empty(64, np.uint64)
+    native.lib.rng_fill_u64(native.ctypes.byref(st), out, 64)
+    want = np.array([py.rand64() for _ in range(64)], np.uint64)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gaussian_bitexact():
+    py = RecurRng(7)
+    st = native.RngT()
+    native.lib.rng_init(native.ctypes.byref(st), 7)
+    out = np.empty(100, np.float32)
+    native.lib.rng_fill_gaussian(native.ctypes.byref(st), out, 100)
+    want = py.gaussian_array(100)
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("shape", [1, 2, 3, 4])
+def test_init_flat_matches_python(shape):
+    from recur_tpu.ops.init import _flat_sample
+    w, h, stride, offset = 10, 12, 16, 1
+    var, perf = 0.05, 0.7
+    # native
+    rng_n = RecurRng(42)
+    a_native = np.zeros((h, stride), np.float32)
+    assert native.init_flat(rng_n, a_native, w, h, offset, var, shape, perf)
+    # python
+    rng_p = RecurRng(42)
+    a_py = np.zeros((h, stride), np.float32)
+    stddev = math.sqrt(var)
+    from recur_tpu.nn import InitDistribution
+    for y in range(h):
+        for x in range(offset, w + offset):
+            if rng_p.rand_double() > perf:
+                a_py[y, x] = _flat_sample(rng_p, InitDistribution(shape),
+                                          var, stddev)
+    np.testing.assert_allclose(a_native, a_py, rtol=1e-5, atol=1e-7)
+    # same sparsity pattern exactly (same RNG call order)
+    np.testing.assert_array_equal(a_native != 0, a_py != 0)
+    # RNG states advanced identically
+    assert rng_n.state == rng_p.state
+
+
+def test_frame_interleaved():
+    C, W = 2, 8
+    pcm = np.arange(64, dtype=np.int16)   # interleaved: ch0 even, ch1 odd
+    tail = np.zeros((C, W // 2), np.float32).ravel()
+    out = native.frame_interleaved(pcm, C, W, tail)
+    assert out is not None
+    n_win = (64 // C) // (W // 2)
+    assert out.shape == (n_win, C, W)
+    # first window first half is the zero tail
+    assert (out[0, :, :4] == 0).all()
+    # second half of window 0 = first 4 samples of each channel
+    np.testing.assert_array_equal(out[0, 0, 4:], [0, 2, 4, 6])
+    np.testing.assert_array_equal(out[0, 1, 4:], [1, 3, 5, 7])
+    # window 1 first half == window 0 second half (50% overlap)
+    np.testing.assert_array_equal(out[1, :, :4], out[0, :, 4:])
+
+
+def test_encode_text_matches_python():
+    from recur_tpu.models.alphabet import Alphabet
+    a = Alphabet.from_chars(" abcdef", collapse_space=True)
+    lut_dict = a.char_lut()
+    space = a._find_space()
+    lut = np.full(256, space, np.uint8)
+    for k, v in lut_dict.items():
+        if k < 256:
+            lut[k] = v
+    text = b"abc  def   fedcba  "
+    want = a.encode(text)
+    got = native.encode_text(text, lut, True, space)
+    np.testing.assert_array_equal(got, want)
