@@ -62,11 +62,17 @@ def main():
 
     best = 0.0
     T = 256
-    sizes = (256, 512, 1024) if jax.default_backend() != "cpu" else (64,)
-    for S in sizes:
+    if jax.default_backend() != "cpu":
+        # large stream counts amortise per-op overhead; bf16 history halves
+        # the HBM traffic of the backward walk (entropy curves match f32)
+        configs = ((1024, jnp.bfloat16), (2048, jnp.bfloat16),
+                   (4096, jnp.bfloat16), (2048, jnp.float32))
+    else:
+        configs = ((64, jnp.float32),)
+    for S, hdtype in configs:
         params = jax.device_put(jax.tree.map(jnp.copy, net.params))
         bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
-        state = nn.new_state(cfg, S)
+        state = nn.new_state(cfg, S, history_dtype=hdtype)
         rng = np.random.default_rng(0)
         tokens = jnp.asarray(rng.integers(0, 42, size=(S, T + 1)))
         key = jax.random.PRNGKey(0)

@@ -61,6 +61,11 @@ class TrainHyper:
     # multi-tap char path skips it (charmodel-predict.c:288-312); the
     # single-tap path (rnn_bptt_calculate) and gstclassify run it.
     condition: bool = True
+    # dtype for the BPTT history ring and error trajectory.  The backward
+    # walk re-reads the whole ring every step, so at large stream counts
+    # training is HBM-bound on it; bf16 halves that traffic.  f32 is exact
+    # reference parity.
+    history_dtype: str = "float32"
 
 
 def char_train_step(cfg: RnnConfig, hyper: TrainHyper,

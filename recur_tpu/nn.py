@@ -248,10 +248,15 @@ def new_bptt_state(cfg: RnnConfig, n_streams: int, learn_rate: float = 1e-3,
     )
 
 
-def new_state(cfg: RnnConfig, n_streams: int) -> RnnState:
+def new_state(cfg: RnnConfig, n_streams: int,
+              history_dtype=jnp.float32) -> RnnState:
+    """history_dtype=bfloat16 halves the HBM traffic of the BPTT backward
+    walk (which re-reads the ring every step) at a small numeric cost;
+    float32 is exact reference parity."""
     return RnnState(
         hidden=jnp.zeros((n_streams, cfg.h_size), jnp.float32),
-        history=jnp.zeros((n_streams, cfg.depth, cfg.i_size), jnp.float32),
+        history=jnp.zeros((n_streams, cfg.depth, cfg.i_size),
+                          jnp.dtype(history_dtype)),
         head=jnp.int32(0),
     )
 

@@ -198,7 +198,8 @@ def advance_history(state: RnnState, input_row: jax.Array) -> RnnState:
     depth = state.history.shape[1]
     head = (state.head + 1) % depth
     history = jax.lax.dynamic_update_slice_in_dim(
-        state.history, input_row[:, None, :], head, axis=1)
+        state.history, input_row[:, None, :].astype(state.history.dtype),
+        head, axis=1)
     return RnnState(hidden=state.hidden, history=history, head=head)
 
 
@@ -265,13 +266,14 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
     # step slices its row from the ring in place and writes its applied
     # error into an [D,S,h] buffer AT THE SAME RING SLOT — the final
     # gradient einsum contracts over all (d,s), so slot order is free.
-    eh_buf0 = jnp.zeros((S, depth, cfg.h_size), jnp.float32)
+    hdtype = state.history.dtype
+    eh_buf0 = jnp.zeros((S, depth, cfg.h_size), hdtype)
 
     def step(carry, t):
         e_h, active, last_err, k_active, cum_err, cie, eh_buf = carry
         slot = (state.head - t) % depth
         inputs_t = jax.lax.dynamic_slice_in_dim(
-            state.history, slot, 1, axis=1)[:, 0]        # [S, i]
+            state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
         # zero bias slot + pads (recur-nn.c:334-337)
         e_h = e_h * hmask
         m = _row_mask(cfg, inputs_t)                     # [S, i_size]
@@ -284,7 +286,7 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         # the error used for this step's delta, masked by active
         y_eh = e_h * act_f[:, None]
         eh_buf = jax.lax.dynamic_update_slice_in_dim(
-            eh_buf, y_eh[:, None], slot, axis=1)
+            eh_buf, y_eh[:, None].astype(hdtype), slot, axis=1)
         # bottom-layer cumulative input error (recur-nn.c:377-382)
         if cie is not None:
             part = e_full[:, cfg.input_offset:cfg.input_offset + cfg.input_size]

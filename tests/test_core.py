@@ -94,9 +94,10 @@ def test_training_trajectory_matches_oracle():
     o, cfg, params, state, bptt = make_pair(output_size=5, seed=11)
     hyper = TrainHyper(condition=False)  # oracle has no conditioning
     rng = np.random.default_rng(4)
-    # ~35 steps stays under the chaos horizon (ReLU boundaries amplify f32
-    # rounding; run-to-run XLA scheduling differences show up past ~50 steps)
-    toks = rng.integers(0, cfg.input_size, size=36)
+    # keep well under the chaos horizon: ReLU boundaries amplify f32
+    # rounding, and XLA's run-to-run scheduling variation showed up as
+    # intermittent failures at 36+ steps
+    toks = rng.integers(0, cfg.input_size, size=20)
     key = jax.random.PRNGKey(0)
     mom = jnp.float32(o.momentum)
 
