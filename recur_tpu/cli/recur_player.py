@@ -1,0 +1,68 @@
+"""gtk-recur headless: train the recur fractal AV model on a Y4M video (+
+optional WAV audio) and render generated frames to Y4M (gtk-recur.c +
+gstrecur_* without GTK/GStreamer)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from recur_tpu.audio.wavio import read_wav
+from recur_tpu.dsp.rescale import downscale_to_float
+from recur_tpu.utils.video_io import read_y4m, write_y4m
+from recur_tpu.video.recur_ctx import (
+    AUDIO_RATE, CONSTRUCT_H, CONSTRUCT_W, RecurContext, WORKING_H, WORKING_W)
+
+
+def thumb(frame, w, h):
+    out = np.empty((3, h, w), np.uint8)
+    for p in range(3):
+        out[p] = (downscale_to_float(frame[p], h, w) * 256).astype(np.uint8)
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="recur-player", description=__doc__)
+    p.add_argument("--train-video", default=None, help="Y4M input")
+    p.add_argument("--train-audio", default=None, help="WAV input")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--out", "-o", default="recur-out.y4m")
+    p.add_argument("--frames", "-n", type=int, default=250)
+    p.add_argument("--learn-rate", "-l", type=float, default=1e-5)
+    p.add_argument("--net-filename", "-f", default="recur.net")
+    p.add_argument("--quiet", "-q", action="count", default=0)
+    opt = p.parse_args(argv)
+
+    ctx = RecurContext(learn_rate=opt.learn_rate,
+                       net_filename=opt.net_filename)
+    audio = None
+    if opt.train_audio:
+        audio, _ = read_wav(opt.train_audio, target_rate=AUDIO_RATE)
+    if opt.train_video:
+        samples_per_frame = AUDIO_RATE // opt.fps
+        for epoch in range(opt.epochs):
+            prev = None
+            for i, frame in enumerate(read_y4m(opt.train_video)):
+                if audio is not None:
+                    a0 = i * samples_per_frame
+                    ctx.set_audio_window(audio[a0:a0 + 512])
+                t = thumb(frame, WORKING_W, WORKING_H)
+                if prev is not None:
+                    ctx.train_frame_pair(prev, t)
+                prev = t
+            if opt.quiet < 1:
+                print(f"epoch {epoch}: generation {ctx.generation}",
+                      file=sys.stderr)
+        ctx.save()
+    frames = (ctx.confabulate() for _ in range(opt.frames))
+    write_y4m(opt.out, frames, CONSTRUCT_W, CONSTRUCT_H, opt.fps)
+    if opt.quiet < 1:
+        print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""rnnca-player: train the RNN cellular automaton on a video and/or generate
+CA video to a Y4M file (the gtk rnnca-player, headless)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from recur_tpu.dsp.rescale import downscale_to_float
+from recur_tpu.utils.video_io import read_y4m, write_y4m
+from recur_tpu.video.rnnca import Rnnca, RNNCA_HEIGHT, RNNCA_WIDTH
+
+
+def thumb(frame: np.ndarray, w: int, h: int) -> np.ndarray:
+    """[3, H, W] u8 → [3, h, w] u8 working-size thumbnail."""
+    out = np.empty((3, h, w), np.uint8)
+    for p in range(3):
+        out[p] = (downscale_to_float(frame[p], h, w) * 256).astype(np.uint8)
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rnnca-player", description=__doc__)
+    p.add_argument("--train-video", default=None, help="Y4M input video")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--out", "-o", default="rnnca-out.y4m")
+    p.add_argument("--frames", "-n", type=int, default=200)
+    p.add_argument("--fps", type=int, default=20)
+    p.add_argument("--hidden-size", "-H", type=int, default=99)
+    p.add_argument("--offsets", default="Y00120111C0111")
+    p.add_argument("--learn-rate", "-l", type=float, default=1e-5)
+    p.add_argument("--edges", action="store_true", help="clamp, not wrap")
+    p.add_argument("--net-filename", "-f", default="rnnca.net")
+    p.add_argument("--quiet", "-q", action="count", default=0)
+    opt = p.parse_args(argv)
+
+    ca = Rnnca(hidden_size=opt.hidden_size, pattern=opt.offsets,
+               learn_rate=opt.learn_rate, edges=opt.edges,
+               net_filename=opt.net_filename)
+    if opt.train_video:
+        for epoch in range(opt.epochs):
+            prev = None
+            for frame in read_y4m(opt.train_video):
+                t = thumb(frame, RNNCA_WIDTH, RNNCA_HEIGHT)
+                if prev is not None:
+                    ca.train_frame_pair(prev, t)
+                prev = t
+            if opt.quiet < 1:
+                print(f"epoch {epoch}: generation {ca.generation}",
+                      file=sys.stderr)
+        ca.save()
+    frames = (ca.step_ca() for _ in range(opt.frames))
+    write_y4m(opt.out, frames, RNNCA_WIDTH, RNNCA_HEIGHT, opt.fps)
+    if opt.quiet < 1:
+        print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
