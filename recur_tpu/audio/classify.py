@@ -419,6 +419,43 @@ class AudioClassifier:
         return (f"{basename}-{sig:x}-i{self.n_features}-h{hidden_size}"
                 f"-o{n_outputs}-{self.rate}Hz-w{self.window_size}.net")
 
+    # -- GObject-property-style live control (gstclassify's ~50 properties
+    # and the pending-properties pattern, gstclassify.c:1679-1828) --
+    PROPERTY_ALIASES = {
+        "learn-rate": "learn_rate",
+        "momentum": "momentum",
+        "training": "training",
+        "target": "_target_string",
+        "lag": "lag",
+        "ignored-windows": "ignored_windows",
+        "balanced-training": "balanced_training_bias",
+        "forget": "_forget",
+    }
+
+    def set_property(self, name: str, value):
+        """Live property changes: learn-rate/momentum update traced scalars
+        (no recompile), `target` re-parses the event string, `forget` resets
+        recurrent state."""
+        key = self.PROPERTY_ALIASES.get(name, name)
+        if key == "learn_rate":
+            self.learn_rate = float(value)
+        elif key == "momentum":
+            self.momentum = float(value)
+        elif key == "_target_string":
+            self.set_target_string(value)
+        elif key == "_forget":
+            self.forget()
+        elif hasattr(self, key):
+            setattr(self, key, value)
+        else:
+            raise KeyError(f"unknown property {name!r}")
+
+    def forget(self):
+        """The `forget` property: zero hidden state and BPTT history
+        (rnn_forget_history)."""
+        from recur_tpu.ops.core import forget_state
+        self.state = forget_state(self.state, bptt_too=True)
+
     # -- property-style setters --
     def set_target_string(self, s: str):
         self.events = parse_target_string(s, self.groups, self.n_channels,

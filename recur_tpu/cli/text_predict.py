@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bottom-layer", type=int, default=0)
     a("--top-learn-rate-scale", type=float, default=1.0)
     a("--bottom-learn-rate-scale", type=float, default=1.0)
+    a("--history-dtype", default="float32",
+      choices=["float32", "bfloat16"],
+      help="BPTT history ring dtype; bfloat16 halves its HBM traffic")
     a("--quiet", "-q", action="count", default=0)
     a("--epochs", type=int, default=0, help="0 = run forever / stop-after")
     return p
@@ -169,13 +172,15 @@ def main(argv=None) -> int:
 
     n_streams = max(opt.multi_tap, 1)
     log = KvLog(opt.log_file)
+    import jax.numpy as jnp
     model = CharModel(net, alphabet, n_streams=n_streams,
                       learning_style=style, batch_size=opt.batch_size,
                       momentum_soft_start=opt.momentum_soft_start,
                       report_interval=opt.report_interval,
                       save_net=not opt.no_save_net, filename=filename,
                       periodic_weight_noise=opt.periodic_weight_noise,
-                      log=log, seed=opt.rng_seed)
+                      log=log, seed=opt.rng_seed,
+                      history_dtype=jnp.dtype(opt.history_dtype))
     if style == LearningMethod.ADAGRAD and opt.adagrad_ballast:
         import dataclasses
         import jax.numpy as jnp

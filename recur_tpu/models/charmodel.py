@@ -122,7 +122,8 @@ class CharModel:
                  report_interval: int = 1024, save_net: bool = True,
                  filename: Optional[str] = None,
                  periodic_weight_noise: float = 0.0,
-                 log: Optional[KvLog] = None, seed: int = 0):
+                 log: Optional[KvLog] = None, seed: int = 0,
+                 history_dtype=jnp.float32):
         self.net = net
         self.alphabet = alphabet
         self.cfg = net.cfg
@@ -156,7 +157,8 @@ class CharModel:
                 self.bptt,
                 min_error_factor=jnp.full((n_streams,), net.min_error_factor,
                                           jnp.float32))
-        self.state = nn.new_state(net.cfg, n_streams)
+        self.state = nn.new_state(net.cfg, n_streams,
+                                  history_dtype=history_dtype)
         self.key = jax.random.PRNGKey(seed)
         # confab state
         self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)

@@ -356,3 +356,12 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
     return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
                     bottom_delta=bottom_delta, min_error_factor=new_mef,
                     stats=stats)
+
+
+def forget_state(state: RnnState, bptt_too: bool = True) -> RnnState:
+    """rnn_forget_history (recur-nn.c:8-16): zero the hidden state and,
+    optionally, the whole BPTT history ring (the classify element's `forget`
+    property)."""
+    history = jnp.zeros_like(state.history) if bptt_too else state.history
+    return RnnState(hidden=jnp.zeros_like(state.hidden), history=history,
+                    head=state.head)
