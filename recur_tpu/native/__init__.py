@@ -12,7 +12,9 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "recur_native.cpp")
-_SO = os.path.join(_DIR, "librecur_native.so")
+# dot-prefixed so pkgutil/import machinery never mistakes the
+# shared library for a Python extension module
+_SO = os.path.join(_DIR, ".librecur_native.so")
 
 lib = None
 
