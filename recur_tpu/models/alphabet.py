@@ -53,11 +53,17 @@ def _isupper(c: int) -> bool:
 
 def _iter_codepoints(text: bytes | str, utf8: bool):
     """Yield character codes the way the reference reads them: utf8
-    codepoints via read_utf8_char, else raw bytes."""
+    codepoints via read_utf8_char, else raw bytes.  A malformed UTF-8
+    sequence stops iteration at the error (charmodel-init.c:49-63 prints a
+    unicode error and breaks)."""
     if isinstance(text, str):
         text = text.encode("utf-8")
     if utf8:
-        for ch in text.decode("utf-8", errors="strict"):
+        try:
+            decoded = text.decode("utf-8")
+        except UnicodeDecodeError as e:
+            decoded = text[:e.start].decode("utf-8")
+        for ch in decoded:
             c = ord(ch)
             if c == 0:
                 return
