@@ -490,38 +490,55 @@ class AudioClassifier:
         n_channels) or [C, N] arrays, s16 or float.  Returns opinion dicts
         when not training (empty list while training)."""
         pcm = np.asarray(pcm)
-        if pcm.dtype == np.int16:
-            pcm = pcm.astype(np.float32)
         if pcm.ndim == 1:
             pcm = pcm.reshape(-1, self.n_channels).T
-        self._pending = np.concatenate([self._pending,
-                                        pcm.astype(np.float32)], axis=1)
+        if self._pending.dtype != pcm.dtype and self._pending.shape[1]:
+            pcm = pcm.astype(self._pending.dtype)
+        elif self._pending.shape[1] == 0:
+            self._pending = np.zeros((self.n_channels, 0), pcm.dtype)
+        self._pending = np.concatenate([self._pending, pcm], axis=1)
         half = self.window_size // 2
-        n_windows = self._pending.shape[1] // half
-        if n_windows == 0:
-            return []
+        # process in fixed-size blocks so every device call has the same
+        # shape (one compile); the remainder stays pending until the next
+        # feed or an explicit flush()
+        out = []
+        while self._pending.shape[1] // half >= self.BLOCK_WINDOWS:
+            out.extend(self._run_block(self.BLOCK_WINDOWS))
+        return out
+
+    def flush(self) -> list[dict]:
+        """Process any buffered remainder (end of stream)."""
+        half = self.window_size // 2
+        n = self._pending.shape[1] // half
+        return self._run_block(n) if n else []
+
+    BLOCK_WINDOWS = 128
+
+    def _run_block(self, n_windows: int) -> list[dict]:
+        half = self.window_size // 2
         chunks, self._pending = (self._pending[:, :n_windows * half],
                                  self._pending[:, n_windows * half:])
-        # build [T, C, window] frames: window = tail + new half
-        frames = np.empty((n_windows, self.n_channels, self.window_size),
-                          np.float32)
-        tail = self._pcm_tail
-        for t in range(n_windows):
-            new = chunks[:, t * half:(t + 1) * half]
-            frames[t, :, :half] = tail
-            frames[t, :, half:] = new
-            tail = new
-        self._pcm_tail = tail.copy()
+        # Ship the raw PCM to the device ONCE and assemble the 50%-overlapped
+        # [T, C, window] frames there — halves the host->device volume and
+        # avoids the 2x window duplication (the transfer, not the FFT, is
+        # the bottleneck on tunneled TPUs).
+        halves = jnp.moveaxis(
+            jnp.asarray(chunks).reshape(self.n_channels, n_windows, half),
+            1, 0)                                    # [T, C, half]
+        tail = jnp.asarray(self._pcm_tail)[None]     # [1, C, half]
+        prev = jnp.concatenate([tail, halves[:-1]], axis=0)
+        frames = jnp.concatenate([prev, halves], axis=-1)  # [T, C, window]
+        self._pcm_tail = np.array(halves[-1])
         if self.training:
             self._train_frames(frames)
             return []
         return self._opine_frames(frames)
 
-    def _features_for_frames(self, frames: np.ndarray) -> jax.Array:
+    def _features_for_frames(self, frames) -> jax.Array:
         """[T, C, window] → [T, C, n_features] with Δ features and
         normalisation (pcm_to_features, gstclassify.c:1983-2051)."""
         T, C, _ = frames.shape
-        x = jnp.asarray(frames)
+        x = jnp.asarray(frames, jnp.float32)
         if self.mfccs:
             raw = self.binner.mfccs(x)[..., 1 - self.intensity_feature:
                                        1 - self.intensity_feature
@@ -550,7 +567,7 @@ class AudioClassifier:
             * jnp.asarray(self.feature_scales)
         return feats
 
-    def _train_frames(self, frames: np.ndarray):
+    def _train_frames(self, frames):
         T = frames.shape[0]
         feats = self._features_for_frames(frames)
         targets = targets_for_windows(self.events, self.window_no, T,
@@ -581,7 +598,7 @@ class AudioClassifier:
         self.log.log_float("error", float(stats.error) / trained)
         self.log.log_float("correct", float(stats.correct) / trained)
 
-    def _opine_frames(self, frames: np.ndarray) -> list[dict]:
+    def _opine_frames(self, frames) -> list[dict]:
         T = frames.shape[0]
         feats = self._features_for_frames(frames)
         targets = targets_for_windows(self.events, self.window_no, T,

@@ -79,6 +79,7 @@ class Trainer:
             self.c.set_target_string(" ".join(
                 f"c{j}t0:{t}" for j, t in enumerate(targets)))
             self.c.feed(pcm)
+            self.c.flush()
         self.cycle += 1
         t = float(self.cycle)
         if self.lr_schedule == "sqrt-exponential":
@@ -115,7 +116,7 @@ class Trainer:
             self.c.reset_state()
             self.c.set_target_string(" ".join(
                 f"c{j}t0:{t}" for j, t in enumerate(targets)))
-            msgs = self.c.feed(pcm)
+            msgs = self.c.feed(pcm) + self.c.flush()
             for m in msgs:
                 for j, t in enumerate(targets):
                     key = f"channel {j}, group 0 correct"

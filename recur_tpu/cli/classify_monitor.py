@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     print(" time  " + " ".join(g.classes))
     chunk = int(clf.rate * opt.interval)
     for i in range(0, len(pcm) - chunk, chunk):
-        msgs = clf.feed(pcm[None, i:i + chunk])
+        msgs = clf.feed(pcm[None, i:i + chunk]) + clf.flush()
         if not msgs:
             continue
         probs = np.mean([[m[k] for k in keys] for m in msgs], axis=0)

@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     for path in opt.wavs:
         pcm, _ = read_wav(path, target_rate=clf.rate)
         clf.reset_state()
-        msgs = clf.feed(pcm[None, :])
+        msgs = clf.feed(pcm[None, :]) + clf.flush()
         scores = np.array([m[key] for m in msgs])
         # call detection: contiguous runs above threshold
         above = scores > opt.threshold

@@ -50,7 +50,7 @@ def main(argv=None) -> int:
             clf.reset_state()
             clf.set_target_string(" ".join(
                 f"c{j}t0:{x}" for j, x in enumerate(targets)))
-            for m in clf.feed(pcm):
+            for m in clf.feed(pcm) + clf.flush():
                 for j, x in enumerate(targets):
                     pk = f"channel {j}, group 0 {group0[0]}"
                     if pk in m:

@@ -74,6 +74,7 @@ class TestAudioClassifier:
         pcm = np.stack([tone_pcm(500, n, seed=1), tone_pcm(2500, n, seed=2)])
         clf.training = True
         clf.feed(pcm)
+        clf.flush()
         assert clf.generation > 200
         # inference on swapped tones: winners should swap too
         clf.training = False
@@ -81,7 +82,7 @@ class TestAudioClassifier:
         clf.set_target_string("c0t0:b c1t0:a")
         pcm2 = np.stack([tone_pcm(2500, RATE, seed=3),
                          tone_pcm(500, RATE, seed=4)])
-        msgs = clf.feed(pcm2)
+        msgs = clf.feed(pcm2) + clf.flush()
         assert len(msgs) > 50
         # skip the first few windows (state warm-up)
         wins0 = [m["channel 0, group 0 winner"] for m in msgs[10:]]
@@ -98,6 +99,7 @@ class TestAudioClassifier:
         clf.set_target_string("c0t0:a c1t0:a")   # only class a seen
         pcm = np.stack([tone_pcm(500, RATE), tone_pcm(500, RATE)])
         clf.feed(pcm)
+        clf.flush()
         assert clf.seen_counts[0] > 0
         assert clf.seen_counts[1] == 0
         assert clf.used_counts[0] <= clf.seen_counts[0]
@@ -106,6 +108,7 @@ class TestAudioClassifier:
         clf = self.make(net_filename=str(tmp_path / "c.net"))
         clf.set_target_string("c0t0:a c1t0:b")
         clf.feed(np.stack([tone_pcm(500, RATE), tone_pcm(2500, RATE)]))
+        clf.flush()
         clf.save()
         clf2 = self.make(net_filename=str(tmp_path / "c.net"),
                          force_load=True)
