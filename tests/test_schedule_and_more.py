@@ -1,0 +1,105 @@
+"""Schedule, ventropy, multi-head batch training, confab, and harness
+behaviours not covered elsewhere."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recur_tpu import nn
+from recur_tpu.compat.charmodel import Alphabet, Net as CharNet
+from recur_tpu.models.charmodel import CharModel, Schedule, Ventropy
+from recur_tpu.ops import init as winit
+
+
+def make_model(**kw):
+    from recur_tpu.models.alphabet import Alphabet as A
+    a = A.from_chars(" abcdefg")
+    net = nn.new_net(len(a), 17, len(a), rng_seed=3, depth=6,
+                     learn_rate=0.01, momentum=0.9)
+    winit.randomise_weights(net)
+    kw.setdefault("save_net", False)
+    return a, CharModel(net, a, n_streams=2, **kw)
+
+
+class TestSchedule:
+    def test_drops_learn_rate_when_stuck(self):
+        a, model = make_model()
+        model.learn_rate = 0.1
+        s = Schedule(recent_len=6, learn_rate_min=1e-5, learn_rate_mul=0.5)
+        model.schedule = s
+        # flat (never-improving) validation scores eventually trigger a drop
+        for _ in range(100):
+            s.eval(model, 2.0, verbose=False)
+        assert model.learn_rate < 0.1
+
+    def test_respects_min(self):
+        a, model = make_model()
+        model.learn_rate = 2e-5
+        s = Schedule(recent_len=3, learn_rate_min=1e-5, learn_rate_mul=0.1)
+        for _ in range(50):
+            s.eval(model, 2.0)
+        assert model.learn_rate >= 1e-5
+
+    def test_improving_scores_keep_rate(self):
+        a, model = make_model()
+        model.learn_rate = 0.1
+        s = Schedule(recent_len=6, learn_rate_min=1e-5, learn_rate_mul=0.5)
+        score = 10.0
+        for _ in range(60):
+            s.eval(model, score)
+            score *= 0.9   # always improving
+        assert model.learn_rate == 0.1
+
+
+class TestVentropy:
+    def test_lapped_history(self):
+        a, model = make_model()
+        text = np.tile(np.arange(8, dtype=np.int32), 50)
+        v = Ventropy(model.cfg, text, lap=4)
+        e1 = v.calc(model.params)
+        assert np.isfinite(e1) and e1 > 0
+        for _ in range(4):
+            v.calc(model.params)
+        assert sum(1 for h in v.history if h != 0.0) == 4
+
+
+class TestEpochReporting:
+    def test_epoch_runs_and_logs(self, tmp_path):
+        from recur_tpu.utils.kvlog import KvLog
+        a, model = make_model(report_interval=64,
+                              log=KvLog(str(tmp_path / "m.log")))
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 500).astype(np.int32)
+        model.epoch(text, quietness=3)
+        log = (tmp_path / "m.log").read_text()
+        for key in ("t_entropy", "accuracy", "per_second", "generation"):
+            assert key in log, key
+
+
+class TestMultiheadBatch:
+    def test_train_batch_streams(self):
+        a = Alphabet(alphabet_chars=" abcdefgh")
+        net = CharNet(a, ["x", "y", "z"], 13, log_file=None,
+                      presynaptic_noise=0.0, bptt_depth=6, rng_seed=9)
+        texts = [a.encode_text(b"ababab " * 20),
+                 a.encode_text(b"cdcdcd " * 20),
+                 a.encode_text(b"efefef " * 20)]
+        net.train_batch(texts, ["x", "y", "z"], leakage=0.1)
+        assert net.generation > 100
+        # per-class XE discriminates after more training
+        for _ in range(15):
+            net.train_batch(texts, ["x", "y", "z"], leakage=0.1)
+        t = net.test(texts[0])
+        assert t["x"] < t["z"], t
+
+    def test_start_stop_confab(self, capsys):
+        a = Alphabet(alphabet_chars=" ab")
+        net = CharNet(a, ["p", "q"], 9, log_file=None,
+                      presynaptic_noise=0.0, bptt_depth=4)
+        net.start_confab(interval=1, n=2, len=20)
+        net.train(a.encode_text(b"ababab abab"), "p")
+        out = capsys.readouterr().out
+        assert "|" in out
+        net.stop_confab()
+        assert net._confab is None
