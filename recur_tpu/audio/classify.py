@@ -351,6 +351,7 @@ class AudioClassifier:
         import os
         if force_load and os.path.exists(self.net_filename):
             self.net = nn.load_net(self.net_filename)
+            self._reconcile_metadata(self.net.metadata)
         else:
             self.net = nn.new_net(
                 self.n_features, hidden_size, n_outputs, flags=flags,
@@ -388,10 +389,13 @@ class AudioClassifier:
         # streaming state
         self.training = True
         self.window_no = 0
-        self._pcm_tail = np.zeros((n_channels, window_size // 2), np.float32)
+        # sizes may have been overridden by loaded-net metadata
+        self._pcm_tail = np.zeros((n_channels, self.window_size // 2),
+                                  np.float32)
         self._pending = np.zeros((n_channels, 0), np.float32)
         self._prev_features = np.zeros(
-            (max(delta_features, 1), n_channels, n_raw), np.float32)
+            (max(self.delta_features, 1), n_channels, self.n_raw_features),
+            np.float32)
         self.events: list[ClassEvent] = []
         self._current_targets = np.full(
             (n_channels, len(self.groups)), -1, np.int32)
@@ -408,6 +412,55 @@ class AudioClassifier:
                     self.delta_features, self.intensity_feature, self.lag,
                     self.min_frequency, self.max_frequency,
                     self.knee_frequency, self.focus_frequency))
+
+    def _reconcile_metadata(self, metadata):
+        """On load, the net file's stored feature/window parameters win over
+        the constructor's (the element's metadata check, gstclassify.c:
+        823-930): a net trained with one frontend must not silently be fed
+        another's features."""
+        if not metadata:
+            return
+        kv = {}
+        for line in metadata.splitlines():
+            if " " in line:
+                k, v = line.split(" ", 1)
+                kv[k] = v
+        mismatches = []
+        for key, attr, conv in (
+                ("window_size", "window_size", int),
+                ("mfccs", "mfccs", int),
+                ("delta_features", "delta_features", int),
+                ("intensity_feature", "intensity_feature", int),
+                ("lag", "lag", float),
+                ("min_frequency", "min_frequency", float),
+                ("max_frequency", "max_frequency", float),
+                ("knee_frequency", "knee_frequency", float),
+                ("focus_frequency", "focus_frequency", float)):
+            if key in kv:
+                want = conv(float(kv[key]))
+                got = getattr(self, attr)
+                if abs(float(want) - float(got)) > 1e-6:
+                    mismatches.append((key, got, want))
+                    setattr(self, attr, want)
+        if "classes" in kv and kv["classes"] != self.classes_string:
+            mismatches.append(("classes", self.classes_string, kv["classes"]))
+            self.classes_string = kv["classes"]
+            self.groups = parse_classes_string(kv["classes"])
+        if mismatches:
+            import sys
+            print("classify: net metadata overrides requested parameters: "
+                  + ", ".join(f"{k} {a}->{b}" for k, a, b in mismatches),
+                  file=sys.stderr)
+            # rebuild the frontend to match the file
+            self.binner = AudioBinner(
+                self.window_size, WindowType.HANN,
+                self.mfccs if self.mfccs else CLASSIFY_N_FFT_BINS,
+                self.min_frequency, self.max_frequency, self.knee_frequency,
+                self.focus_frequency, self.rate, value_size=2)
+            n_raw = ((self.mfccs if self.mfccs else CLASSIFY_N_FFT_BINS)
+                     + self.intensity_feature)
+            self.n_raw_features = n_raw
+            self.n_features = n_raw * (1 + self.delta_features)
 
     def _default_filename(self, basename, hidden_size, bottom_layer,
                           n_outputs, metadata) -> str:
