@@ -245,7 +245,9 @@ class CharModel:
         if L < 2:
             return False
         spacing = L // S
-        chunk = chunk_size or self.report_interval
+        # device chunk: capped independently of the report interval (a huge
+        # report interval must not become a huge token block)
+        chunk = chunk_size or min(self.report_interval, 4096)
         offsets = (np.arange(S) * spacing)[:, None]   # [S,1]
 
         report_counter = self.generation % self.report_interval

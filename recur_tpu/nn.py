@@ -479,3 +479,22 @@ def load_net(filename: str) -> Net:
                momentum=momentum, momentum_weight=momentum_weight,
                min_error_factor=min_error_factor, bptt_index=index,
                bottom_learn_rate_scale=bottom_lrs)
+
+
+def print_net_stats(net: Net):
+    """rnn_print_net_stats (recur-nn-init.c:846-861): mean/variance of the
+    live regions of each weight matrix."""
+    def report(name, a):
+        a = np.asarray(a)
+        print(f"{name}: mean {a.mean():.3g} variance {a.var():.3g} "
+              f"(std dev {a.std():.3g}) n {a.size}")
+    cfg = net.cfg
+    ih = np.asarray(net.params.ih)
+    report("ih_weights",
+           ih[:cfg.hidden_size + cfg.input_size + 1, 1:cfg.hidden_size + 1])
+    ho = np.asarray(net.params.ho)
+    report("ho_weights", ho[:cfg.hidden_size + 1, :cfg.output_size])
+    if net.params.bottom is not None:
+        b = np.asarray(net.params.bottom)
+        report("bottom weights", b[:cfg.bottom_input_size + 1,
+                                   1:cfg.input_size + 1])

@@ -104,3 +104,74 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
                                        tokens, key, momentum, noise)
 
     return jax.jit(fn, in_shardings=in_shardings)
+
+
+# ---------------------------------------------------------------------------
+# explicit shard_map + psum data parallelism (SURVEY.md §2.9/§5.8)
+# ---------------------------------------------------------------------------
+
+def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
+    """Pure data parallelism written explicitly with shard_map: every device
+    holds the full replicated params and S/n_data local streams; the stream
+    gradient sum becomes a psum over the 'data' axis before the (identical)
+    weight update on each device — the collective form of the reference's
+    shared delta array.
+
+    The GSPMD path (sharded_train_chunk) is the production one; this is the
+    hand-written equivalent, kept small and testable.
+    """
+    from jax.experimental.shard_map import shard_map
+    from recur_tpu.ops.core import (advance_history, calc_deltas,
+                                    forward_step, capped_log2,
+                                    softmax_best_guess_error)
+    from recur_tpu.ops.optimizers import apply_learning
+    import dataclasses as _dc
+
+    def local_chunk(params, bptt, state, tokens, key, momentum, noise):
+        xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
+        ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
+        keys = jax.random.split(key, xs.shape[0])
+
+        def body(carry, inp):
+            params, bptt, state = carry
+            x_tok, y_tok, k = inp
+            x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+            fwd = forward_step(cfg, params, state.hidden, x)
+            state = advance_history(state, fwd.input_row)
+            state = RnnState(hidden=fwd.hidden, history=state.history,
+                             head=state.head)
+            o_error, _, p_t = softmax_best_guess_error(
+                fwd.output[:, :cfg.output_size], y_tok)
+            o_error = jnp.pad(
+                o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
+            d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+                            bptt.min_error_factor, bptt.learn_rate)
+            # the cross-chip "shared delta array": psum over ICI
+            ih_delta = jax.lax.psum(d.ih_delta, "data")
+            ho_delta = jax.lax.psum(d.ho_delta, "data")
+            params, bptt2 = apply_learning(cfg, params, bptt, ih_delta,
+                                           ho_delta, None,
+                                           hyper.learning_style, momentum,
+                                           1.0)
+            bptt2 = _dc.replace(bptt2, min_error_factor=d.min_error_factor,
+                                generation=bptt2.generation + 1)
+            ent = jax.lax.psum(jnp.sum(-capped_log2(p_t)), "data")
+            return (params, bptt2, state), ent
+
+        (params, bptt, state), ents = jax.lax.scan(
+            body, (params, bptt, state), (xs, ys, keys))
+        return params, bptt, state, ents.sum()
+
+    pspec = jax.tree.map(lambda _: P(), _param_specs(cfg))
+    # matrices replicated; per-stream min_error_factor shards over data
+    bspec = _dc.replace(
+        jax.tree.map(lambda _: P(), _bptt_specs(cfg)),
+        min_error_factor=P("data"))
+    sspec = RnnState(hidden=P("data", None), history=P("data", None, None),
+                     head=P())
+    fn = shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=(pspec, bspec, sspec, P("data", None), P(), P(), P()),
+        out_specs=(pspec, bspec, sspec, P()),
+        check_rep=False)
+    return jax.jit(fn)

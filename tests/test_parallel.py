@@ -1,0 +1,74 @@
+"""Multi-device parallelism: the explicit shard_map+psum DP chunk must equal
+the single-device engine, and the GSPMD-sharded chunk must run on a
+data x model mesh (8 virtual CPU devices, tests/conftest.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import nn, engine
+from recur_tpu.engine import TrainHyper
+from recur_tpu.ops import init as winit
+from recur_tpu.parallel.mesh import (
+    make_mesh, shard_map_train_chunk, shard_train_args, sharded_train_chunk)
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def setup(S=16):
+    net = nn.new_net(9, 15, 9, rng_seed=3, depth=5, learn_rate=1e-3)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 9, (S, 17)))
+    return net, cfg, hyper, tokens
+
+
+def test_shard_map_dp_equals_single_device():
+    net, cfg, hyper, tokens = setup()
+    S = tokens.shape[0]
+    mesh = make_mesh(n_data=8, n_model=1)
+    fn = shard_map_train_chunk(mesh, cfg, hyper)
+    args = (jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0))
+    p8, b8, s8, ent8 = fn(net.params, nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+                          nn.new_state(cfg, S), tokens, *args)
+    p1, b1, s1, tot = engine.char_train_chunk(
+        cfg, hyper, net.params, nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S), tokens, *args)
+    np.testing.assert_allclose(np.asarray(p8.ih), np.asarray(p1.ih),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p8.ho), np.asarray(p1.ho),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ent8), float(tot.entropy), rtol=1e-4)
+
+
+def test_gspmd_data_model_mesh_runs():
+    net, cfg, hyper, tokens = setup()
+    S = tokens.shape[0]
+    mesh = make_mesh(n_data=4, n_model=2)
+    params, bptt, state = shard_train_args(
+        mesh, cfg, net.params, nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S))
+    fn = sharded_train_chunk(mesh, cfg, hyper)
+    tokens = jax.device_put(
+        tokens, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None)))
+    # short horizon: the model-axis split-K reductions round differently
+    # every step, and ReLU boundaries amplify that (chaos) — compare only a
+    # couple of steps
+    tokens = tokens[:, :3]
+    p, b, s, tot = fn(params, bptt, state, tokens, jax.random.PRNGKey(0),
+                      jnp.float32(0.9), jnp.float32(0.0))
+    jax.block_until_ready(tot)
+    assert np.isfinite(float(tot.entropy))
+    p1, b1, s1, tot1 = engine.char_train_chunk(
+        cfg, hyper, net.params, nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S), tokens, jax.random.PRNGKey(0),
+        jnp.float32(0.9), jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(p.ih), np.asarray(p1.ih),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
+                               rtol=1e-3)
