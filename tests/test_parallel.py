@@ -56,19 +56,29 @@ def test_gspmd_data_model_mesh_runs():
     tokens = jax.device_put(
         tokens, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data", None)))
-    # short horizon: the model-axis split-K reductions round differently
-    # every step, and ReLU boundaries amplify that (chaos) — compare only a
-    # couple of steps
-    tokens = tokens[:, :3]
+    # full multi-step chunk runs and is finite
     p, b, s, tot = fn(params, bptt, state, tokens, jax.random.PRNGKey(0),
                       jnp.float32(0.9), jnp.float32(0.0))
     jax.block_until_ready(tot)
     assert np.isfinite(float(tot.entropy))
+    # single-step equality is near-exact (GSPMD is a layout change); beyond
+    # one step the BPTT early-exit thresholds are a knife edge that
+    # amplifies split-K rounding into discretely different walks, so longer
+    # horizons are not comparable bit-wise
+    one = tokens[:, :2]
+    params2, bptt2, state2 = shard_train_args(
+        mesh, cfg, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+    p, b, s, tot = fn(params2, bptt2, state2, jax.device_put(
+        one, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None))),
+        jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0))
     p1, b1, s1, tot1 = engine.char_train_chunk(
-        cfg, hyper, net.params, nn.new_bptt_state(cfg, S, 1e-3, 0.9),
-        nn.new_state(cfg, S), tokens, jax.random.PRNGKey(0),
+        cfg, hyper, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S), one, jax.random.PRNGKey(0),
         jnp.float32(0.9), jnp.float32(0.0))
     np.testing.assert_allclose(np.asarray(p.ih), np.asarray(p1.ih),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
-                               rtol=1e-3)
+                               rtol=1e-5)
