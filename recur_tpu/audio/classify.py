@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import re
 from functools import partial
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import numpy as np
 

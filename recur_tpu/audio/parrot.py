@@ -33,7 +33,7 @@ from recur_tpu import nn
 from recur_tpu.engine import TrainHyper
 from recur_tpu.dsp.mdct import MDCT, frame_pcm
 from recur_tpu.dsp.windows import WindowType, window_mask
-from recur_tpu.nn import Activation, Flag, LearningMethod
+from recur_tpu.nn import Flag, LearningMethod
 from recur_tpu.ops import init as winit
 from recur_tpu.ops.core import advance_history, calc_deltas, forward_step
 from recur_tpu.ops.conditioning import condition_net

@@ -12,8 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
-import time
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

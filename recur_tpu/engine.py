@@ -16,14 +16,13 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from recur_tpu.nn import (
     BpttState,
-    Flag,
     LearningMethod,
     RnnConfig,
     RnnParams,

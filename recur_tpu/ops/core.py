@@ -22,7 +22,6 @@ Semantics preserved exactly (they affect convergence):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 
 from recur_tpu.nn import (
     Activation,
-    BpttState,
     RnnConfig,
     RnnParams,
     RnnState,

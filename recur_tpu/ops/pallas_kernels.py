@@ -37,7 +37,6 @@ def _fits_vmem(cfg: RnnConfig, n_streams: int) -> bool:
 
 def _kernel(x_ref, hidden_ref, ih_ref, ho_ref, h_out_ref, o_out_ref,
             *, cfg: RnnConfig, out_kind: str):
-    import numpy as np
     S = x_ref.shape[0]
     hidden = hidden_ref[:]
     x = x_ref[:]

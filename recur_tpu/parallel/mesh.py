@@ -20,9 +20,6 @@ all-gather for the delta einsums) — no hand-written comms.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import numpy as np
 
 import jax
