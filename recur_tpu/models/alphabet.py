@@ -361,3 +361,10 @@ def check_metadata(net_metadata: Optional[str], m: Metadata,
         raise ValueError("metadata mismatch between net file and request "
                          "(use trust_file_metadata or force_metadata)")
     return m, want if not net_metadata else net_metadata
+
+
+def dump_collapsed_text(symbols, path: str, alphabet: "Alphabet"):
+    """rnn_char_dump_collapsed_text (charmodel-init.c:429-440): write encoded
+    symbols back out as readable text."""
+    with open(path, "w") as f:
+        f.write(alphabet.decode(symbols))
