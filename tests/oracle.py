@@ -178,3 +178,55 @@ def one_hot_error(output, output_size, target):
     o_error = np.zeros(len(output), np.float32)
     o_error[:output_size] = err
     return o_error, int(np.argmax(p)), float(p[target])
+
+
+def apply_nesterov(w, d, m, rate, momentum):
+    """apply_learning_with_nesterov_momentum (recur-nn.c:494-509)."""
+    t = d * rate
+    w += t
+    m += t
+    m *= momentum
+    w += m
+
+
+def apply_adagrad(w, d, acc, rate):
+    """apply_adagrad_learning (recur-nn.c:511-525)."""
+    for i in np.ndindex(w.shape):
+        a = acc[i] + d[i] * d[i]
+        w[i] += d[i] * rate / np.sqrt(a)
+        acc[i] = a
+
+
+def apply_adadelta(w, d, g_acc, s_acc, rate, decay):
+    """apply_adadelta_learning, abs-value variant (recur-nn.c:527-558)."""
+    renewal = 1.0 - decay
+    for i in np.ndindex(w.shape):
+        g = g_acc[i] * decay
+        s = s_acc[i] * decay
+        g += abs(d[i]) * renewal + rate
+        step = s / g * d[i]
+        s += abs(step) * renewal + rate
+        g_acc[i] = g
+        s_acc[i] = s
+        w[i] += step
+
+
+def apply_rprop(w, d, prev_grad, prev_step, rate):
+    """apply_rprop_learning (recur-nn.c:560-593)."""
+    shrink, grow = 0.5, 1.2
+    max_step, min_step = 1.0 * rate, 1e-6 * rate
+    for i in np.ndindex(w.shape):
+        dd = d[i]
+        p = prev_grad[i]
+        step = prev_step[i]
+        if dd * p > 0.0:
+            step = min(step * grow, max_step)
+        elif dd * p < 0.0:
+            step = max(step * shrink, min_step)
+            dd = 0.0
+        if dd > 0.0:
+            w[i] += step
+        else:
+            w[i] -= step
+        prev_step[i] = step
+        prev_grad[i] = dd
