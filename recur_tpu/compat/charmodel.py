@@ -210,6 +210,13 @@ class Net:
                                          learn_rate=jnp.float32(v))
 
     @property
+    def ih_scale(self) -> float:
+        """The reference exposes bptt->ih_scale (the last emergency BPTT
+        scale, py-recur-text.c:601-634).  Here it is a per-step, per-stream
+        internal of calc_deltas; 1.0 means "no emergency clip"."""
+        return 1.0
+
+    @property
     def ho_scale(self) -> float:
         return float(self._bptt.ho_scale)
 

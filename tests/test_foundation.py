@@ -152,3 +152,28 @@ class TestHash:
         assert net.metadata is not None
         sig = rnn_hash32(net.metadata)
         assert f"{sig:x}" == "6c34c563"
+
+
+class TestTrainedFixture:
+    """A net trained by THIS framework on TPU ships as a fixture; it must
+    keep loading and scoring across rounds (the role of the reference's
+    shipped multi-text net)."""
+
+    FIXTURE2 = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "erewhon-h99.net")
+
+    @pytest.mark.skipif(not os.path.exists(FIXTURE2),
+                        reason="trained fixture missing")
+    def test_loads_and_scores(self):
+        from recur_tpu.models.alphabet import Metadata
+        from recur_tpu.models.charmodel import CharModel
+        net = nn.load_net(self.FIXTURE2)
+        assert net.cfg.hidden_size == 99
+        alphabet = Metadata.parse(net.metadata).to_alphabet()
+        model = CharModel(net, alphabet, n_streams=1, save_net=False)
+        with open("/root/reference/test-images/erewhon.txt", "rb") as f:
+            text = alphabet.encode(f.read(4000))
+        xe = model.cross_entropy(text)
+        assert xe < 2.6, f"trained fixture scores {xe} bits/char"
+        confab = model.confabulate(60, bias=1.0)
+        assert len(confab) == 60
