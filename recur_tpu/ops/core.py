@@ -161,13 +161,13 @@ def forward_step(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
         x = jnp.maximum(bo[:, :cfg.input_size], 0.0)
 
     # input layer = [bias=1, hidden(t-1)[1:], x, pad]  (recur-nn.c:104-112)
-    row = jnp.zeros((S, cfg.i_size), f32)
-    row = row.at[:, :cfg.h_size].set(hidden)
-    row = row.at[:, 0].set(1.0)
-    row = row.at[:, cfg.input_offset:cfg.input_offset + cfg.input_size].set(x)
-    # pad slots between hidden_size+1..h_size carried hidden pads (zero); the
-    # x write starts at hidden_size+1 which may overlap h_size pads — rebuild:
-    # (input_offset = hidden_size+1 <= h_size, so x overwrites the pad slots.)
+    # — one concatenate (hidden[1:hidden+1] and x are contiguous at
+    # input_offset = hidden_size+1), cheaper than scatters
+    pad = cfg.i_size - cfg.input_offset - cfg.input_size
+    row = jnp.concatenate(
+        [jnp.ones((S, 1), f32), hidden[:, 1:cfg.hidden_size + 1],
+         x.astype(f32)] + ([jnp.zeros((S, pad), f32)] if pad else []),
+        axis=1)
 
     # emergency input scale (maybe_scale_inputs, recur-nn.c:68-81)
     sums = jnp.sum(row, axis=1)
