@@ -43,15 +43,17 @@ def test_classifier_learns():
     syms, cls, names = alloc_classified_text(blocks, a, ignore_start=5)
     net = nn.new_net(len(a), 23, 2,
                      flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
-                     rng_seed=3, depth=10, learn_rate=0.01, momentum=0.9)
+                     rng_seed=3, depth=10, learn_rate=0.02, momentum=0.9)
     winit.randomise_weights(net)
     clf = TextClassifier(net, a, names, n_streams=2, report_interval=400)
     r = {}
-    for _ in range(7):
+    # 5 epochs at lr 0.02 reaches ~0.9 (more epochs eventually destabilise
+    # this deliberately hot learn rate)
+    for _ in range(5):
         r = clf.epoch(syms, cls, validation=(syms[:300], cls[:300]),
                       quietness=2)
     assert r, "no report emitted"
-    assert r["accuracy"] > 0.78, r
+    assert r["accuracy"] > 0.8, r
     # per-char probabilities discriminate held-out text
     p1 = clf.classify_text(a.encode(b"abcd abcd abcd abcd"))
     p2 = clf.classify_text(a.encode(b"efgh efgh efgh efgh"))
