@@ -13,10 +13,18 @@
 #include <math.h>
 #include <time.h>
 
+#ifndef HID
 #define HID 199
+#endif
+#ifndef IN
 #define IN 42
+#endif
+#ifndef OUT
 #define OUT 42
+#endif
+#ifndef DEPTH
 #define DEPTH 30
+#endif
 
 #define AL4(x) (((x) + 3) & ~3)
 static const int h_size = AL4(HID + 1);
