@@ -51,7 +51,8 @@ def main():
     from recur_tpu.nn import Flag
     from recur_tpu.ops import init as winit
 
-    base = c_baseline()
+    # two C runs, take the faster (the baseline varies ~10%)
+    base = max(c_baseline(), c_baseline())
 
     net = nn.new_net(42, 199, 42,
                      flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
