@@ -139,12 +139,15 @@ def main(argv=None) -> int:
             force_metadata=opt.force_metadata)
         alphabet = meta.to_alphabet()
     if net is None:
-        net = nn.new_net(n_chars, opt.hidden_size, n_chars, flags=flags,
+        # --bottom-layer N inserts a feed-forward layer below the RNN:
+        # alphabet one-hots -> N features -> RNN (rnn_new_with_bottom_layer)
+        rnn_inputs = opt.bottom_layer if opt.bottom_layer else n_chars
+        net = nn.new_net(rnn_inputs, opt.hidden_size, n_chars, flags=flags,
                          rng_seed=opt.rng_seed, depth=opt.depth,
                          learn_rate=opt.learn_rate, momentum=opt.momentum,
                          presynaptic_noise=opt.presynaptic_noise,
                          activation=Activation(opt.activation),
-                         bottom_input_size=0,
+                         bottom_input_size=n_chars if opt.bottom_layer else 0,
                          metadata=meta.construct())
         p = winit.default_init_params(net.cfg)
         p.method = InitMethod(opt.init_method)

@@ -198,7 +198,7 @@ class CharModel:
         """guess_next_character (charmodel-predict.c:29-60): biased-softmax
         sampling with the host JSF64 rng; bias >= 100 → argmax."""
         cfg = self.cfg
-        x = jax.nn.one_hot(jnp.array([tok]), cfg.input_size,
+        x = jax.nn.one_hot(jnp.array([tok]), cfg.raw_input_size,
                            dtype=jnp.float32)
         fwd = forward_step(cfg, self.params, hidden, x)
         logits = np.asarray(fwd.output[0, :cfg.output_size], np.float64)

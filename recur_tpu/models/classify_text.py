@@ -86,7 +86,7 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
     S = x_tok.shape[0]
     momentum = momentum_soft_start(bptt.generation, momentum_target,
                                    hyper.momentum_soft_start)
-    x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+    x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
     nk, ck = jax.random.split(key)
     fwd = forward_step(cfg, params, state.hidden, x,
                        noise_key=nk if hyper.use_noise else None,
@@ -150,7 +150,7 @@ def classify_eval_seq(cfg, params, hidden, tokens, classes):
     xs = jnp.moveaxis(tokens, 1, 0)
 
     def body(h, x_tok):
-        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
         fwd = forward_step(cfg, params, h, x)
         return fwd.hidden, fwd.output
 

@@ -48,7 +48,7 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     n_classes = cfg.output_size // alphabet_len
     momentum = momentum_soft_start(bptt.generation, momentum_target,
                                    hyper.momentum_soft_start)
-    x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+    x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
     nk, lk, ck = jax.random.split(key, 3)
     fwd = forward_step(cfg, params, state.hidden, x,
                        noise_key=nk if hyper.use_noise else None,
@@ -142,7 +142,7 @@ def multihead_spin(cfg: RnnConfig, params: RnnParams, alphabet_len: int,
     xs = jnp.moveaxis(tokens, 1, 0)
 
     def body(state, x_tok):
-        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
         fwd = forward_step(cfg, params, state.hidden, x)
         state2 = advance_history(state, fwd.input_row)
         return RnnState(hidden=fwd.hidden, history=state2.history,
@@ -164,7 +164,7 @@ def multihead_cross_entropy(cfg: RnnConfig, params: RnnParams,
     xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
 
     def body(h, x_tok):
-        x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+        x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
         fwd = forward_step(cfg, params, h, x)
         return fwd.hidden, fwd.output
 

@@ -163,6 +163,12 @@ class RnnConfig:
     def adaptive_min_error(self) -> bool:
         return bool(self.flags & Flag.BPTT_ADAPTIVE_MIN_ERROR)
 
+    @property
+    def raw_input_size(self) -> int:
+        """What callers feed: the bottom layer's inputs when present
+        (one_hot_opinion, charmodel-helpers.h:16-33), else the RNN's."""
+        return self.bottom_input_size if self.has_bottom else self.input_size
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -225,16 +231,18 @@ def new_params(cfg: RnnConfig, dtype=jnp.float32) -> RnnParams:
 
 def new_bptt_state(cfg: RnnConfig, n_streams: int, learn_rate: float = 1e-3,
                    momentum: float = 0.95) -> BpttState:
-    zeros_like_b = (jnp.zeros((cfg.bottom_i_size, cfg.bottom_o_size), jnp.float32)
-                    if cfg.has_bottom else None)
+    def bzeros():
+        # fresh buffer each time: aliased leaves break argument donation
+        return (jnp.zeros((cfg.bottom_i_size, cfg.bottom_o_size), jnp.float32)
+                if cfg.has_bottom else None)
     aux = bool(cfg.flags & Flag.AUX_ARRAYS)
     return BpttState(
         ih_momentum=jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32),
         ho_momentum=jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32),
         ih_aux=jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32) if aux else None,
         ho_aux=jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32) if aux else None,
-        bottom_momentum=zeros_like_b,
-        bottom_aux=zeros_like_b if aux else None,
+        bottom_momentum=bzeros(),
+        bottom_aux=bzeros() if aux else None,
         learn_rate=jnp.float32(learn_rate),
         ho_scale=jnp.float32(1.0),
         momentum=jnp.float32(momentum),
@@ -244,7 +252,7 @@ def new_bptt_state(cfg: RnnConfig, n_streams: int, learn_rate: float = 1e-3,
         generation=jnp.uint32(0),
         ih_delta=jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32),
         ho_delta=jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32),
-        bottom_delta=zeros_like_b,
+        bottom_delta=bzeros(),
     )
 
 

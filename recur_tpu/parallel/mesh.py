@@ -132,7 +132,7 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
         def body(carry, inp):
             params, bptt, state = carry
             x_tok, y_tok, k = inp
-            x = jax.nn.one_hot(x_tok, cfg.input_size, dtype=jnp.float32)
+            x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
             fwd = forward_step(cfg, params, state.hidden, x)
             state = advance_history(state, fwd.input_row)
             state = RnnState(hidden=fwd.hidden, history=state.history,
