@@ -360,7 +360,7 @@ class Net:
         texts = [""] * self.n_classes
         produced = [0] * self.n_classes
         while min(produced) < char_len:
-            x = jax.nn.one_hot(jnp.asarray(last), cfg.input_size,
+            x = jax.nn.one_hot(jnp.asarray(last), cfg.raw_input_size,
                                dtype=jnp.float32)
             fwd = forward_step(cfg, self._params, hidden, x)
             hidden = fwd.hidden
