@@ -17,6 +17,7 @@ from typing import Sequence
 import numpy as np
 
 from recur_tpu.audio.classify import AudioClassifier
+from recur_tpu.audio.timings import target_string_for_channel
 from recur_tpu.audio.wavio import read_wav
 from recur_tpu.audio import stats as cstats
 
@@ -50,7 +51,8 @@ class Trainer:
                  test_files: Sequence[LabelledFile],
                  lr_schedule: str = "sqrt-exponential",
                  lr_decay: float = 0.9, lr_min: float = 1e-6,
-                 seed: int = 1, verbose: bool = True):
+                 seed: int = 1, verbose: bool = True,
+                 timings: dict | None = None):
         self.c = classifier
         self.training_files = list(training_files)
         self.test_files = list(test_files)
@@ -61,6 +63,8 @@ class Trainer:
         self.lr_min = lr_min
         self.verbose = verbose
         self.cycle = 0
+        # {filename: [(group, class, time, template)]} from audio/timings
+        self.timings = timings or {}
         # record-beating auto-save with decaying records (classify.py:374-398)
         self.records: dict[str, float] = {}
         self.record_decay = 0.996
@@ -75,8 +79,7 @@ class Trainer:
             batch = files[i:i + C]
             pcm, targets = self._load_batch(batch)
             self.c.reset_state()
-            self.c.set_target_string(" ".join(
-                f"c{j}t0:{t}" for j, t in enumerate(targets)))
+            self.c.set_target_string(self._targets_for(batch, targets))
             self.c.feed(pcm)
             self.c.flush()
         self.cycle += 1
@@ -87,6 +90,20 @@ class Trainer:
         elif self.lr_schedule == "inverse-time":
             self.c.learn_rate = lr_inverse_time(self.base_lr, t,
                                                 minimum=self.lr_min)
+
+    def _targets_for(self, batch, targets) -> str:
+        """Per-channel target strings: timed events from a timings file when
+        available (classify.py's timing-driven targets), else the file's
+        static class at t=0."""
+        parts = []
+        for j, (f, t) in enumerate(zip(batch, targets)):
+            ev = (self.timings.get(f.path)
+                  or self.timings.get(os.path.basename(f.path)))
+            if ev:
+                parts.append(target_string_for_channel(ev, j))
+            else:
+                parts.append(f"c{j}t0:{t}")
+        return " ".join(parts)
 
     def _load_batch(self, batch: Sequence[LabelledFile]):
         pcms = []
@@ -113,8 +130,7 @@ class Trainer:
                 batch = list(batch) + [batch[-1]]
             pcm, targets = self._load_batch(batch)
             self.c.reset_state()
-            self.c.set_target_string(" ".join(
-                f"c{j}t0:{t}" for j, t in enumerate(targets)))
+            self.c.set_target_string(self._targets_for(batch, targets))
             msgs = self.c.feed(pcm) + self.c.flush()
             for m in msgs:
                 for j, t in enumerate(targets):

@@ -68,6 +68,11 @@ def build_parser():
     a("--reload", action="store_true")
     a("--log-file", default="classify.log")
     a("--cycles", type=int, default=10)
+    a("--timings", default=None,
+      help="timing file (toggle / JSON-call / group formats) giving timed "
+           "class events per audio file")
+    a("--timing-threshold", type=float, default=0.0)
+    a("--timing-max-duration", type=float, default=0.0)
     a("--rng-seed", type=int, default=11)
     a("--quiet", "-q", action="count", default=0)
     return p
@@ -93,12 +98,19 @@ def main(argv=None) -> int:
         rng_seed=opt.rng_seed, basename=opt.basename,
         net_filename=opt.net_filename, force_load=opt.reload,
         log_file=opt.log_file)
+    timings = None
+    if opt.timings:
+        from recur_tpu.audio.timings import load_binary_timings
+        timings = load_binary_timings(
+            opt.timings, opt.classes.split(","),
+            threshold=opt.timing_threshold,
+            max_duration=opt.timing_max_duration)
     trainer = Trainer(clf, load_file_list(opt.train_list),
                       load_file_list(opt.test_list),
                       lr_schedule=opt.learn_rate_schedule,
                       lr_decay=opt.learn_rate_decay,
                       lr_min=opt.learn_rate_min, seed=opt.rng_seed,
-                      verbose=opt.quiet < 1)
+                      verbose=opt.quiet < 1, timings=timings)
     result = trainer.run(opt.cycles)
     if opt.quiet < 2:
         print("final:", result)
