@@ -117,7 +117,7 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
     The GSPMD path (sharded_train_chunk) is the production one; this is the
     hand-written equivalent, kept small and testable.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from recur_tpu.ops.core import (advance_history, calc_deltas,
                                     forward_step, capped_log2,
                                     softmax_best_guess_error)
@@ -170,5 +170,5 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
         local_chunk, mesh=mesh,
         in_specs=(pspec, bspec, sspec, P("data", None), P(), P(), P()),
         out_specs=(pspec, bspec, sspec, P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
