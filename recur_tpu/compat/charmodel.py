@@ -258,6 +258,8 @@ class Net:
         target = self.class_name_lut[target_class]
         if leakage < 0:
             leakage = -leakage / self.n_classes
+        if int(self._state.hidden.shape[0]) != 1:
+            self._resize_streams(1)
         if ignore_start:
             self._state = multihead_spin(
                 self.net.cfg, self._params, len(self.alphabet), self._state,
