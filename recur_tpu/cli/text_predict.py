@@ -62,7 +62,6 @@ def build_parser() -> argparse.ArgumentParser:
     a("--presynaptic-noise", type=float, default=0.0)
     a("--rng-seed", type=int, default=1)
     a("--stop-after", type=int, default=0)
-    a("--start-epochs", type=int, default=0)
     a("--validate-chars", type=int, default=0)
     a("--validation-overlap", type=int, default=1)
     a("--confab-size", type=int, default=80)
