@@ -342,3 +342,34 @@ def dense_forward_seq(cfg: RnnConfig, params: RnnParams, hidden, use_noise,
 
     hidden, probs = jax.lax.scan(body, hidden, (xs, keys))
     return hidden, jnp.moveaxis(probs, 0, 1)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def char_confab_chunk(cfg: RnnConfig, params: RnnParams, hidden, n_chars: int,
+                      start_tok, bias, key):
+    """In-graph confabulation: sample n_chars tokens per stream in ONE device
+    call (the host-looped guess_next_character costs a device round trip per
+    character).  Sampling uses biased_softmax + categorical draw — same
+    distribution as the reference's rand_double scan, different RNG.
+
+    hidden: [S, h_size]; start_tok: [S] int.  Returns (hidden, tokens [S, n]).
+    """
+    from recur_tpu.ops.core import biased_softmax as _bs
+
+    keys = jax.random.split(key, n_chars)
+
+    def body(carry, k):
+        hidden, tok = carry
+        x = jax.nn.one_hot(tok, cfg.raw_input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, hidden, x)
+        logits = fwd.output[:, :cfg.output_size]
+        probs = _bs(logits, bias)
+        nxt = jnp.where(
+            bias >= 100.0,
+            jnp.argmax(logits, axis=-1),
+            jax.random.categorical(k, jnp.log(jnp.maximum(probs, 1e-30)),
+                                   axis=-1))
+        return (fwd.hidden, nxt), nxt
+
+    (hidden, _), toks = jax.lax.scan(body, (hidden, start_tok), keys)
+    return hidden, jnp.moveaxis(toks, 0, 1)

@@ -176,6 +176,16 @@ class CharModel:
     def confabulate(self, char_len: int, bias: float = 0.0,
                     start_point: int = -1, stop_point: int = -1) -> str:
         cfg = self.cfg
+        if start_point < 0 and stop_point < 0:
+            # fast path: sample the whole string in one device call
+            hidden, toks = engine.char_confab_chunk(
+                cfg, self.params, self._confab_hidden, char_len,
+                jnp.asarray([self._confab_char], jnp.int32),
+                jnp.float32(bias), self._next_key())
+            self._confab_hidden = hidden
+            syms = np.asarray(toks[0])
+            self._confab_char = int(syms[-1]) if len(syms) else                 self._confab_char
+            return self.alphabet.decode(syms)
         out_syms = []
         n = self._confab_char
         hidden = self._confab_hidden
