@@ -357,6 +357,20 @@ class Net:
         last = c["last"].copy()
         marker_idx = (self.alphabet.get_codepoint(caps_marker)
                       if caps_marker else -2)
+        if marker_idx < 0:
+            # no caps-marker post-processing: sample everything in one
+            # device call per confab
+            from recur_tpu.models.multihead import multihead_confab_chunk
+            hidden, toks = multihead_confab_chunk(
+                cfg, self._params, alen, int(char_len), hidden,
+                jnp.asarray(last, jnp.int32), jnp.float32(bias),
+                self._next_key())
+            toks = np.asarray(toks)
+            if self._confab:
+                self._confab["hidden"] = hidden
+                self._confab["last"] = toks[:, -1].astype(np.int32)
+            return [self.alphabet._a.decode(toks[m])
+                    for m in range(self.n_classes)]
         outs: list[list[int]] = [[] for _ in range(self.n_classes)]
         pending_caps = [False] * self.n_classes
         texts = [""] * self.n_classes

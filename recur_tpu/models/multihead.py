@@ -180,3 +180,34 @@ def multihead_cross_entropy(cfg: RnnConfig, params: RnnParams,
     mask = (jnp.arange(T - 1) >= ignore_start).astype(jnp.float32)
     ent = -(p2 * mask[:, None, None]).sum(axis=0) / mask.sum()
     return ent
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def multihead_confab_chunk(cfg: RnnConfig, params: RnnParams,
+                           alphabet_len: int, n_chars: int,
+                           hidden, last_tok, bias, key):
+    """In-graph multi-confab (multi_confab, charmodel-multi-predict.c:
+    145-197): stream m samples from head m.  hidden: [C, h_size];
+    last_tok: [C].  Returns (hidden, tokens [C, n_chars])."""
+    from recur_tpu.ops.core import biased_softmax
+    n_classes = cfg.output_size // alphabet_len
+    keys = jax.random.split(key, n_chars)
+    own_head = jnp.arange(n_classes)
+
+    def body(carry, k):
+        hidden, tok = carry
+        x = jax.nn.one_hot(tok, cfg.raw_input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, hidden, x)
+        logits = fwd.output[:, :n_classes * alphabet_len].reshape(
+            n_classes, n_classes, alphabet_len)
+        mine = jnp.take_along_axis(
+            logits, own_head[:, None, None], axis=1)[:, 0, :]  # [C, A]
+        probs = biased_softmax(mine, bias)
+        nxt = jnp.where(
+            bias >= 100.0, jnp.argmax(mine, axis=-1),
+            jax.random.categorical(k, jnp.log(jnp.maximum(probs, 1e-30)),
+                                   axis=-1))
+        return (fwd.hidden, nxt), nxt
+
+    (hidden, _), toks = jax.lax.scan(body, (hidden, last_tok), keys)
+    return hidden, jnp.moveaxis(toks, 0, 1)

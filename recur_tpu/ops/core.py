@@ -7,8 +7,9 @@ streams into dense [S,i]x[i,h] matmuls.  Its fused per-row backward loop
 (bptt_and_accumulate_error, recur-nn.c:303-450) splits into
   (1) a small sequential error-propagation scan over the BPTT depth
       (per-step state is only [S,h]), and
-  (2) one large dense gradient matmul  einsum('dsi,dsh->ih')
-      over the masked history x error trajectories,
+  (2) one large dense gradient matmul  einsum('sdi,sdh,s->ih')
+      over the history ring and the applied-error trajectory (both kept in
+      ring-slot order, so no reordering copies),
 so nearly all FLOPs land on the MXU as big matmuls instead of a serial chain.
 
 Semantics preserved exactly (they affect convergence):

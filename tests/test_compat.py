@@ -81,6 +81,25 @@ class TestCharNet:
         assert len(lines) == 2
         assert all(len(s) == 10 for s in lines)
 
+    def test_confabulate_statefulness_and_bias(self):
+        # fast in-graph path (no caps_marker): high bias => deterministic
+        # argmax sampling; start_confab state must advance between calls
+        a, net = self.make()
+        net.start_confab(40, 100)
+        l1 = net.confabulate(8, bias=1000.0)
+        l2 = net.confabulate(8, bias=1000.0)
+        assert all(len(s) == 8 for s in l1 + l2)
+        a2, net2 = self.make()
+        net2.start_confab(40, 100)
+        m1 = net2.confabulate(8, bias=1000.0)
+        assert m1 == l1  # argmax from same init state is reproducible
+
+    def test_confabulate_caps_marker_slow_path(self):
+        a, net = self.make()
+        lines = net.confabulate(6, caps_marker=a.alphabet[1])
+        assert len(lines) == 2
+        assert all(len(s) == 6 for s in lines)
+
     def test_save_load_roundtrip(self, tmp_path):
         a, net = self.make()
         md = {"version": 1, "alphabet": a.alphabet, "collapse_chars": "",
