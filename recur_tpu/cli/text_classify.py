@@ -9,7 +9,7 @@ import sys
 import numpy as np
 
 from recur_tpu import nn
-from recur_tpu.models.alphabet import Alphabet
+from recur_tpu.models.alphabet import Alphabet, Metadata
 from recur_tpu.models.classify_text import (
     TextClassifier, adjust_text_lag, alloc_classified_text)
 from recur_tpu.nn import Flag, LearningMethod
@@ -83,6 +83,7 @@ def main(argv=None) -> int:
                      flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
                      rng_seed=opt.rng_seed, depth=opt.depth,
                      learn_rate=opt.learn_rate, momentum=opt.momentum)
+    net.metadata = Metadata.from_alphabet(alphabet).construct()
     winit.randomise_weights(net)
     clf = TextClassifier(net, alphabet, names, n_streams=opt.multi_tap,
                          learning_style=LearningMethod(opt.learning_style),

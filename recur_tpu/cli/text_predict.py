@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--history-dtype", default="float32",
       choices=["float32", "bfloat16"],
       help="BPTT history ring dtype; bfloat16 halves its HBM traffic")
+    a("--override-params", "-o", action="store_true",
+      help="override meta-parameters in a reloaded net (text-predict.c:258)")
     a("--quiet", "-q", action="count", default=0)
     a("--epochs", type=int, default=0, help="0 = run forever / stop-after")
     return p
@@ -137,6 +139,11 @@ def main(argv=None) -> int:
             net.metadata, meta, trust_file_metadata=bool(opt.filename),
             force_metadata=opt.force_metadata)
         alphabet = meta.to_alphabet()
+        if opt.override_params:
+            # text-predict.c:517-522: CLI hyperparams win over the file's
+            net.learn_rate = opt.learn_rate
+            net.momentum = opt.momentum
+            net.momentum_weight = opt.momentum_weight
     if net is None:
         # --bottom-layer N inserts a feed-forward layer below the RNN:
         # alphabet one-hots -> N features -> RNN (rnn_new_with_bottom_layer)

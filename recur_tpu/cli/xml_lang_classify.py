@@ -9,7 +9,7 @@ import sys
 import xml.etree.ElementTree as ET
 
 from recur_tpu import nn
-from recur_tpu.models.alphabet import Alphabet
+from recur_tpu.models.alphabet import Alphabet, Metadata
 from recur_tpu.models.classify_text import TextClassifier, alloc_classified_text
 from recur_tpu.nn import Flag
 from recur_tpu.ops import init as winit
@@ -65,6 +65,7 @@ def main(argv=None) -> int:
                      flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
                      rng_seed=1, depth=30, learn_rate=opt.learn_rate)
     winit.randomise_weights(net)
+    net.metadata = Metadata.from_alphabet(alphabet).construct()
     clf = TextClassifier(net, alphabet, names, n_streams=opt.multi_tap,
                          filename=opt.filename, log=KvLog(opt.log_file))
     for _ in range(opt.epochs):

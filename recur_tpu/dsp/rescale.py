@@ -32,8 +32,15 @@ def adaptive_downscale(src: np.ndarray, factor: int) -> np.ndarray:
 
 def downscale_to_float(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """recur_integer_downscale_to_float (rescale.h:46-64): u8 plane ->
-    [0,1) float32 plane at an integer-divisor size, area-averaged."""
+    [0,1) float32 plane at an integer-divisor size, area-averaged.
+
+    Sources smaller than the target grid (which the reference never saw —
+    GStreamer caps negotiation rescaled upstream) are nearest-resampled."""
     h, w = src.shape[:2]
+    if h < out_h or w < out_w:
+        yi = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+        xi = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+        return (src[np.ix_(yi, xi)].astype(np.float32) / 256.0)
     fy, fx = h // out_h, w // out_w
     fy, fx = max(fy, 1), max(fx, 1)
     a = src[:out_h * fy, :out_w * fx].astype(np.float32)

@@ -48,3 +48,147 @@ def test_text_predict_then_confab_and_xe(tmp_path):
                 [net, str(tmp_path / "c.net")])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(tmp_path / "c.net")
+
+
+def _write_tone_wavs(d, classes="ab", rate=8000, secs=1.2):
+    """Two-class toy corpus: class a = 500Hz tone, class b = white noise."""
+    import numpy as np
+    from recur_tpu.audio.wavio import write_wav
+    rng = np.random.default_rng(0)
+    paths = {}
+    t = np.arange(int(rate * secs)) / rate
+    for i, c in enumerate(classes):
+        for j in range(2):
+            if i == 0:
+                x = 0.4 * np.sin(2 * np.pi * (500 + 40 * j) * t)
+            else:
+                x = 0.3 * rng.standard_normal(t.shape)
+            p = str(d / f"{c}-{j}.wav")
+            write_wav(p, (x * 32000).astype(np.int16), rate)
+            paths.setdefault(c, []).append(p)
+    return paths
+
+
+def test_audio_classify_cli_chain(tmp_path):
+    """classify-train -> classify-test -> multi-test -> find-bird-calls ->
+    classify-monitor on a synthetic 2-class corpus."""
+    wavs = _write_tone_wavs(tmp_path)
+    train_list = tmp_path / "train.txt"
+    test_list = tmp_path / "test.txt"
+    train_list.write_text("".join(f"{wavs[c][0]} {c}\n" for c in "ab"))
+    test_list.write_text("".join(f"{wavs[c][1]} {c}\n" for c in "ab"))
+    net = str(tmp_path / "c.net")
+    r = run_cli("recur_tpu.cli.classify_train",
+                ["-c", "ab", "--train-list", str(train_list),
+                 "--test-list", str(test_list), "-n", "4", "-w", "256",
+                 "-H", "23", "--cycles", "1", "-f", net,
+                 "--log-file", str(tmp_path / "c.log"), "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(net)
+
+    r = run_cli("recur_tpu.cli.classify_test",
+                ["-f", net, "-c", "ab", "--test-list", str(test_list),
+                 "-n", "4", "-w", "256", "--json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "auc" in json.dumps(out).lower() or out
+
+    r = run_cli("recur_tpu.cli.multi_test",
+                [net, net, "-c", "ab", "--test-list", str(test_list),
+                 "-n", "4", "-w", "256", "--json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run_cli("recur_tpu.cli.find_bird_calls",
+                [wavs["a"][1], "-f", net, "-c", "ab", "-w", "256",
+                 "-t", "0.9"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = run_cli("recur_tpu.cli.classify_monitor",
+                [wavs["b"][1], "-f", net, "-c", "ab", "-w", "256"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_text_classify_cli(tmp_path):
+    """text-classify trains a 2-language classifier; results CLI scores."""
+    f1 = tmp_path / "lang1.txt"
+    f2 = tmp_path / "lang2.txt"
+    f1.write_text("the cat sat on the mat and then ran off " * 30)
+    f2.write_text("zuzu quix vrom klatu barada nikto blarg " * 30)
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{f1} en\n{f2} zz\n")
+    net = str(tmp_path / "tc.net")
+    r = run_cli("recur_tpu.cli.text_classify",
+                ["--file-list", str(lst), "-H", "19", "--depth", "8",
+                 "--epochs", "2", "--multi-tap", "4", "-l", "0.01",
+                 "--filename", net, "--log-file", str(tmp_path / "tc.log"),
+                 "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(net)
+    r = run_cli("recur_tpu.cli.text_classify_results",
+                ["-f", net, str(f1), str(f2)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip()
+
+
+def test_xml_lang_classify_cli(tmp_path):
+    xml = tmp_path / "tei.xml"
+    xml.write_text(
+        '<TEI xmlns:xml="http://www.w3.org/XML/1998/namespace">'
+        '<text><p xml:lang="en">' +
+        "the quick brown fox jumps over the lazy dog " * 20 +
+        '</p><p xml:lang="fr">' +
+        "portez ce vieux whisky au juge blond qui fume " * 20 +
+        "</p></text></TEI>")
+    r = run_cli("recur_tpu.cli.xml_lang_classify",
+                [str(xml), "-H", "19", "--epochs", "1", "--multi-tap", "4",
+                 "-f", str(tmp_path / "x.net"),
+                 "--log-file", str(tmp_path / "x.log"), "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_parrot_cli(tmp_path):
+    import numpy as np
+    from recur_tpu.audio.wavio import write_wav
+    t = np.arange(8000) / 8000.0
+    write_wav(str(tmp_path / "in.wav"),
+              (0.4 * np.sin(2 * np.pi * 330 * t) * 32000).astype(np.int16),
+              8000)
+    out = str(tmp_path / "dream.wav")
+    r = run_cli("recur_tpu.cli.parrot",
+                ["--train-audio", str(tmp_path / "in.wav"), "--epochs", "1",
+                 "-o", out, "-n", "0.5", "-H", "23", "-w", "256",
+                 "-f", str(tmp_path / "p.net"), "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_rnnca_player_cli(tmp_path):
+    import numpy as np
+    from recur_tpu.utils.video_io import write_y4m
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 255, (3, 24, 32), np.uint8).astype(np.uint8)
+              for _ in range(4)]
+    vid = str(tmp_path / "in.y4m")
+    write_y4m(vid, frames, 32, 24)
+    out = str(tmp_path / "out.y4m")
+    r = run_cli("recur_tpu.cli.rnnca_player",
+                ["--train-video", vid, "--epochs", "1", "-o", out,
+                 "-n", "3", "-H", "23", "-f", str(tmp_path / "r.net"), "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_recur_player_cli(tmp_path):
+    import numpy as np
+    from recur_tpu.utils.video_io import write_y4m
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 255, (3, 24, 32), np.uint8).astype(np.uint8)
+              for _ in range(4)]
+    vid = str(tmp_path / "in.y4m")
+    write_y4m(vid, frames, 32, 24)
+    out = str(tmp_path / "out.y4m")
+    r = run_cli("recur_tpu.cli.recur_player",
+                ["--train-video", vid, "--epochs", "1", "-o", out,
+                 "-n", "2", "-f", str(tmp_path / "rc.net"), "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
