@@ -192,3 +192,30 @@ def test_recur_player_cli(tmp_path):
                  "-n", "2", "-f", str(tmp_path / "rc.net"), "-q"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
+
+
+@pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+def test_text_predict_override_params(tmp_path):
+    """--reload keeps the file's learn-rate; --reload -o applies the CLI's
+    (text-predict.c:517-522)."""
+    net = str(tmp_path / "o.net")
+    base = ["--stop-after", "300", "--multi-tap", "4",
+            "--report-interval", "200", "--filename", net, "-q"]
+    r = run_cli("recur_tpu.cli.text_predict",
+                base + ["--learn-rate", "1e-4",
+                        "--log-file", str(tmp_path / "o1.log")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("recur_tpu.cli.text_predict",
+                base + ["--learn-rate", "7e-3", "--reload",
+                        "--log-file", str(tmp_path / "o2.log")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lr = [l for l in (tmp_path / "o2.log").read_text().splitlines()
+          if l.startswith("learn-rate")][-1]
+    assert lr.split()[1] == "0.0001"
+    r = run_cli("recur_tpu.cli.text_predict",
+                base + ["--learn-rate", "7e-3", "--reload", "-o",
+                        "--log-file", str(tmp_path / "o3.log")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lr = [l for l in (tmp_path / "o3.log").read_text().splitlines()
+          if l.startswith("learn-rate")][-1]
+    assert lr.split()[1] == "0.007"
