@@ -62,15 +62,16 @@ def main():
     hyper = TrainHyper(condition=False)
 
     best = 0.0
-    T = 256
     if jax.default_backend() != "cpu":
-        # large stream counts amortise per-op overhead; bf16 history halves
-        # the HBM traffic of the backward walk (entropy curves match f32)
-        configs = ((1024, jnp.bfloat16), (2048, jnp.bfloat16),
-                   (4096, jnp.bfloat16), (2048, jnp.float32))
+        # large stream counts and long scan chunks amortise per-op overhead;
+        # bf16 history halves the HBM traffic of the backward walk (entropy
+        # curves match f32).  Swept S x T: throughput peaks near S~3k and
+        # grows slowly with T (S=4096 regresses - HBM pressure).
+        configs = ((3072, 4096, jnp.bfloat16), (3584, 4096, jnp.bfloat16),
+                   (2048, 2048, jnp.bfloat16), (2048, 1024, jnp.float32))
     else:
-        configs = ((64, jnp.float32),)
-    for S, hdtype in configs:
+        configs = ((64, 256, jnp.float32),)
+    for S, T, hdtype in configs:
         params = jax.device_put(jax.tree.map(jnp.copy, net.params))
         bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
         state = nn.new_state(cfg, S, history_dtype=hdtype)
