@@ -89,6 +89,21 @@ def build_parser() -> argparse.ArgumentParser:
     a("--history-dtype", default="float32",
       choices=["float32", "bfloat16"],
       help="BPTT history ring dtype; bfloat16 halves its HBM traffic")
+    a("--start-char", type=int, default=-1,
+      help="character to start the first epoch on (-1 for generation mod "
+           "text length, text-predict.c:590-597)")
+    a("--dump-collapsed-text", default=None, metavar="FILE",
+      help="dump the symbol-encoded text back out as readable text")
+    a("--adjust-noise", action="store_true",
+      help="scale presynaptic noise down along with the learn rate")
+    a("--diagonal-only-boost", type=float, default=0.0,
+      help="add to weights in --diagonal-only-section")
+    a("--temporal-pgm-dump", action="store_true",
+      help="dump stream-0 hidden activations over time as PPM images")
+    a("--periodic-pgm-dump", default="", metavar="SPEC",
+      help="dump weight images at each report, e.g. 'ihw how'")
+    a("--fp-exception-level", type=int, default=0,
+      help="0: none, >0: enable NaN/Inf debugging on device arrays")
     a("--override-params", "-o", action="store_true",
       help="override meta-parameters in a reloaded net (text-predict.c:258)")
     a("--quiet", "-q", action="count", default=0)
@@ -169,6 +184,12 @@ def main(argv=None) -> int:
     net.ho_scale = opt.top_learn_rate_scale
 
     text = alphabet.encode(raw)
+    if opt.dump_collapsed_text:
+        from recur_tpu.models.alphabet import dump_collapsed_text
+        dump_collapsed_text(text, opt.dump_collapsed_text, alphabet)
+    if opt.fp_exception_level > 0:
+        from recur_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging(True)
     if opt.validate_chars > 2:
         v_text = text[-opt.validate_chars:]
         text = text[:-opt.validate_chars]
@@ -177,7 +198,8 @@ def main(argv=None) -> int:
 
     if opt.diagonal_only_section:
         winit.clear_diagonal_only_section(net, opt.diagonal_only_section,
-                                          opt.diagonal_only_friends)
+                                          opt.diagonal_only_friends,
+                                          boost=opt.diagonal_only_boost)
 
     n_streams = max(opt.multi_tap, 1)
     log = KvLog(opt.log_file)
@@ -189,7 +211,10 @@ def main(argv=None) -> int:
                       save_net=not opt.no_save_net, filename=filename,
                       periodic_weight_noise=opt.periodic_weight_noise,
                       log=log, seed=opt.rng_seed,
-                      history_dtype=jnp.dtype(opt.history_dtype))
+                      history_dtype=jnp.dtype(opt.history_dtype),
+                      periodic_pgm_dump=opt.periodic_pgm_dump,
+                      temporal_pgm_dump=opt.temporal_pgm_dump,
+                      basename=opt.basename)
     if style == LearningMethod.ADAGRAD and opt.adagrad_ballast:
         import dataclasses
         import jax.numpy as jnp
@@ -201,7 +226,8 @@ def main(argv=None) -> int:
                                       opt.adagrad_ballast))
     if opt.learn_rate_inertia:
         model.schedule = Schedule(opt.learn_rate_inertia, opt.learn_rate_min,
-                                  opt.learn_rate_scale)
+                                  opt.learn_rate_scale,
+                                  adjust_noise=opt.adjust_noise)
     vent = Ventropy(net.cfg, v_text.astype(np.int32),
                     lap=opt.validation_overlap) if len(v_text) else None
 
@@ -211,13 +237,20 @@ def main(argv=None) -> int:
         print(f"net: i{n_chars} h{opt.hidden_size} o{n_chars} "
               f"taps {n_streams}; saving to {filename}", file=sys.stderr)
 
+    # start position: explicit --start-char, else generation mod length
+    # (text-predict.c:590-597); later epochs always start at 0
+    L = max(len(text) - 1, 1)
+    start = (opt.start_char if 0 <= opt.start_char < L
+             else net.generation % L)
     epoch = 0
     while True:
         epoch += 1
         finished = model.epoch(text, ventropy=vent, stop=opt.stop_after,
+                               start=start,
                                confab_size=opt.confab_size,
                                confab_bias=opt.confab_bias,
                                quietness=opt.quiet)
+        start = 0
         if finished or (opt.epochs and epoch >= opt.epochs):
             break
         if not opt.stop_after and not opt.epochs:

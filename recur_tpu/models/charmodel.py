@@ -123,7 +123,9 @@ class CharModel:
                  filename: Optional[str] = None,
                  periodic_weight_noise: float = 0.0,
                  log: Optional[KvLog] = None, seed: int = 0,
-                 history_dtype=jnp.float32):
+                 history_dtype=jnp.float32,
+                 periodic_pgm_dump: str = "",
+                 temporal_pgm_dump: bool = False, basename: str = "net"):
         self.net = net
         self.alphabet = alphabet
         self.cfg = net.cfg
@@ -140,6 +142,15 @@ class CharModel:
         self.periodic_weight_noise = periodic_weight_noise
         self.log = log or KvLog()
         self.schedule = Schedule(0)
+        # weight-image debugging (rnn_multi_pgm_dump / temporal_ppm,
+        # text-predict.c:617-620 + pgm_dump.h) at each report
+        self.periodic_pgm_dump = periodic_pgm_dump
+        self.basename = basename
+        self._temporal_ppm = None
+        if temporal_pgm_dump:
+            from recur_tpu.utils.pgm import TemporalPPM
+            self._temporal_ppm = TemporalPPM(
+                net.cfg.h_size, 300, f"{basename}-hidden")
         # live scalars (mirrored into device state each chunk)
         self.learn_rate = net.learn_rate
         self.momentum = net.momentum
@@ -334,6 +345,13 @@ class CharModel:
             self.params = weight_noise(self.cfg, self.params,
                                        self._next_key(),
                                        jnp.float32(self.periodic_weight_noise))
+        if self.periodic_pgm_dump:
+            from recur_tpu.utils.pgm import multi_pgm_dump
+            self.net.params = self.params
+            multi_pgm_dump(self.net, self.periodic_pgm_dump, self.basename,
+                           bptt=self.bptt)
+        if self._temporal_ppm is not None:
+            self._temporal_ppm.add_row(np.asarray(self.state.hidden[0]))
 
     def _finalize(self):
         if self.save_net and self.filename:

@@ -309,10 +309,20 @@ def zap_non_diagonals(net: Net, start: int, stop: int, n_friends: int):
     net.params = dataclasses.replace(net.params, ih=jnp.asarray(ih))
 
 
-def clear_diagonal_only_section(net: Net, length: int, friends: int):
-    """rnn_clear_diagonal_only_section (recur-nn.c:1136-1145)."""
+def clear_diagonal_only_section(net: Net, length: int, friends: int,
+                                boost: float = 0.0):
+    """rnn_clear_diagonal_only_section (recur-nn.c:1136-1145); boost adds to
+    the section's diagonal weights (prepare_diagonal_only_section,
+    text-predict.c:453-470)."""
     if not length:
         return
     h_end = net.cfg.hidden_size + 1
     friends = min(friends, length)
     zap_non_diagonals(net, h_end - length, h_end, friends)
+    if boost:
+        import jax.numpy as jnp
+        idx = np.arange(h_end - length, h_end)
+        ih = np.asarray(net.params.ih).copy()
+        ih[idx, idx] += boost
+        net.params = dataclasses.replace(net.params, ih=jnp.asarray(ih))
+
