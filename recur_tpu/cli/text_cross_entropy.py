@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from recur_tpu import nn, engine
 from recur_tpu.models.alphabet import Metadata
-from recur_tpu.utils.colour import C_ITALIC, C_NORMAL, spectrum_24
+from recur_tpu.utils.colour import (
+    C_ITALIC, C_NORMAL, spectrum_24, spectrum_256)
 
 
 def main(argv=None) -> int:
@@ -20,23 +21,52 @@ def main(argv=None) -> int:
                                 description=__doc__)
     p.add_argument("--filename", "-f", required=True, help="net file")
     p.add_argument("files", nargs="+", help="text files to score")
+    p.add_argument("--colour-scale", "-s", type=float, default=0.0,
+                   help="colourise text showing cross entropy (0 = off); "
+                        "higher values saturate at lower surprise")
+    p.add_argument("--colour-decay", "-d", type=float, default=1.0,
+                   help="set < 1 for exponential smoothing of the colour "
+                        "(text-cross-entropy.c:101-103)")
+    p.add_argument("--colour-24-bit", action="store_true",
+                   help="use a 24-bit RGB spectrum (default 256-colour)")
     p.add_argument("--colour", "-c", action="store_true",
-                   help="24-bit colour heat-map of per-char surprise")
+                   help="shorthand for --colour-scale 2 --colour-24-bit")
     p.add_argument("--italic-threshold", type=float, default=6.0,
-                   help="italicise chars above this many bits")
-    p.add_argument("--ignore-first", type=int, default=5)
+                   help="italicise chars above this many bits "
+                        "(colour mode only)")
+    p.add_argument("--ignore-first", type=int, default=5,
+                   help="skip this many characters before measuring")
+    p.add_argument("--ignore-lines", "-I", type=int, default=0,
+                   help="skip this many lines at the start of each file")
+    p.add_argument("--min-length", "-m", type=int, default=0,
+                   help="don't process texts shorter than this")
+    p.add_argument("--prefix", default=None,
+                   help="prime the net with this text before scoring")
     opt = p.parse_args(argv)
+    if opt.colour and not opt.colour_scale:
+        opt.colour_scale = 2.0
+        opt.colour_24_bit = True
 
     net = nn.load_net(opt.filename)
     alphabet = Metadata.parse(net.metadata).to_alphabet()
+    prefix = (alphabet.encode(opt.prefix.encode()) if opt.prefix else None)
     for path in opt.files:
         with open(path, "rb") as f:
-            text = alphabet.encode(f.read())
-        if len(text) < 3:
+            raw = f.read()
+        if opt.ignore_lines:
+            parts = raw.split(b"\n", opt.ignore_lines)
+            raw = parts[-1] if len(parts) > opt.ignore_lines else b""
+        text = alphabet.encode(raw)
+        if len(text) < max(3, opt.min_length):
             print(f"{path}: too short")
             continue
         import jax
         hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
+        if prefix is not None and len(prefix):
+            # rnn_char_prime (text-cross-entropy.c:145-148)
+            hidden, _ = engine.char_forward_seq(
+                net.cfg, net.params, hidden,
+                jnp.asarray(prefix, jnp.int32)[None])
         hidden, outs = engine.char_forward_seq(
             net.cfg, net.params, hidden,
             jnp.asarray(text[:-1], jnp.int32)[None])
@@ -48,11 +78,17 @@ def main(argv=None) -> int:
         surprise = -logp2
         mean = float(surprise[opt.ignore_first:].mean())
         print(f"{path}: {mean:.4f} bits/char")
-        if opt.colour:
+        if opt.colour_scale:
+            # rolling-decay colour per char (text-cross-entropy.c:91-117):
+            # colour follows the smoothed surprise, italics the raw one
+            spectrum = spectrum_24 if opt.colour_24_bit else spectrum_256
             out = []
+            rolling = 1.0
             for i, s in enumerate(surprise):
+                rolling = rolling * (1.0 - opt.colour_decay) + \
+                    float(s) * opt.colour_decay
                 ch = alphabet.decode([text[i + 1]])
-                esc = spectrum_24(min(s / 10.0, 1.0))
+                esc = spectrum(min(rolling * opt.colour_scale / 24.0, 1.0))
                 if s > opt.italic_threshold:
                     out.append(f"{esc}{C_ITALIC}{ch}{C_NORMAL}")
                 else:
