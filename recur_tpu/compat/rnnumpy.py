@@ -109,6 +109,36 @@ class Net:
         self._bptt = dataclasses.replace(self._bptt,
                                          learn_rate=jnp.float32(v))
 
+    @property
+    def ho_scale(self) -> float:
+        """bptt->ho_scale (py-recur-numpy.c:277-281): top-layer LR scale."""
+        return float(self._bptt.ho_scale)
+
+    @ho_scale.setter
+    def ho_scale(self, v: float):
+        self._bptt = dataclasses.replace(self._bptt,
+                                         ho_scale=jnp.float32(v))
+
+    @property
+    def momentum_weight(self) -> float:
+        """bptt->momentum_weight (py-recur-numpy.c:283-287)."""
+        return float(self._bptt.momentum_weight)
+
+    @momentum_weight.setter
+    def momentum_weight(self, v: float):
+        self._bptt = dataclasses.replace(self._bptt,
+                                         momentum_weight=jnp.float32(v))
+
+    @property
+    def ih_scale(self) -> float:
+        """bptt->ih_scale: the reference's last emergency BPTT scale; a
+        per-step internal of calc_deltas here, so reads as 1.0."""
+        return 1.0
+
+    @property
+    def presynaptic_noise(self) -> float:
+        return float(self.net.cfg.presynaptic_noise)
+
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k

@@ -175,3 +175,16 @@ class TestNumpyNet:
         net2 = NumpyNet.load(str(p))
         np.testing.assert_array_equal(np.asarray(net2._params.ih),
                                       np.asarray(net._params.ih))
+
+    def test_bptt_scale_properties(self):
+        """py-recur-numpy.c getset surface: ho_scale / momentum_weight are
+        live; ih_scale reads 1.0 (per-step internal here)."""
+        net = NumpyNet(4, 9, 4, rng_seed=7)
+        assert net.ih_scale == 1.0
+        net.ho_scale = 0.5
+        net.momentum_weight = 0.25
+        assert abs(net.ho_scale - 0.5) < 1e-6
+        assert abs(net.momentum_weight - 0.25) < 1e-6
+        feats = np.eye(4, dtype=np.float32)[np.arange(20) % 4]
+        net.train(feats, feats, n_epochs=1)
+        assert net.generation == 20
