@@ -77,6 +77,28 @@ class TestEpochReporting:
             assert key in log, key
 
 
+class TestReportImageDumps:
+    def test_periodic_pgm_dump_writes_images(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        a, model = make_model(report_interval=64,
+                              periodic_pgm_dump="ihw how",
+                              basename="tnet")
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 300).astype(np.int32)
+        model.epoch(text, quietness=3)
+        names = sorted(f.name for f in tmp_path.glob("tnet-*.p?m"))
+        assert any("ihw" in n for n in names), names
+        assert any("how" in n for n in names), names
+
+    def test_temporal_pgm_rows_accumulate(self):
+        a, model = make_model(report_interval=64, temporal_pgm_dump=True)
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 300).astype(np.int32)
+        model.epoch(text, quietness=3)
+        assert model._temporal_ppm is not None
+        assert len(model._temporal_ppm.rows) >= 2
+
+
 class TestMultiheadBatch:
     def test_train_batch_streams(self):
         a = Alphabet(alphabet_chars=" abcdefgh")
