@@ -24,11 +24,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 C_BASELINE_FALLBACK = 26641.0  # chars/s measured on this image's CPU
+C_CLASSIFY_FALLBACK = 12470.0  # windows/s measured on this image's CPU
 
 
-def c_baseline(seconds: float = 2.0) -> float:
-    exe = "/tmp/recur_bench_baseline"
-    src = os.path.join(REPO, "bench_baseline.c")
+def _c_bench(src_name: str, exe: str, seconds: float, fallback: float) -> float:
+    src = os.path.join(REPO, src_name)
     try:
         if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
             subprocess.run(
@@ -38,7 +38,64 @@ def c_baseline(seconds: float = 2.0) -> float:
                              capture_output=True, text=True, timeout=60)
         return float(out.stdout.strip())
     except Exception:
-        return C_BASELINE_FALLBACK
+        return fallback
+
+
+def c_baseline(seconds: float = 2.0) -> float:
+    return _c_bench("bench_baseline.c", "/tmp/recur_bench_baseline",
+                    seconds, C_BASELINE_FALLBACK)
+
+
+def c_classify_baseline(seconds: float = 2.0) -> float:
+    return _c_bench("bench_classify_baseline.c",
+                    "/tmp/recur_bench_classify", seconds, C_CLASSIFY_FALLBACK)
+
+
+def classify_compute_bench() -> float:
+    """Compute-only classify training throughput (channel-windows/s): the
+    full per-window pipeline of the classify element — Hann window → FFT →
+    40 log-frequency bins → h=199 forward → 2-class softmax error → depth-30
+    BPTT → apply+condition — with the PCM frames resident on the device, so
+    the number measures the classify step itself, not the ~50MB/s axon
+    tunnel (BASELINE.md north star: ≥50x the SIMD C window step,
+    bench_classify_baseline.c)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from recur_tpu.audio import classify as ac
+    from recur_tpu import nn
+
+    on_tpu = jax.default_backend() != "cpu"
+    C, T = (1000, 128) if on_tpu else (16, 16)
+    clf = ac.AudioClassifier("Mm", n_channels=C, window_size=256,
+                             hidden_size=199, learn_rate=1e-4,
+                             net_filename="/tmp/bench_classify.net")
+    cfg = clf.net.cfg
+    binner, groups, hyper = clf.binner, tuple(clf.groups), clf.hyper
+    train_p = jnp.ones(cfg.o_size, jnp.float32)
+    live = jnp.ones(T, bool)
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(rng.integers(0, 2, (T, C, 1)), jnp.int32)
+    frames = jnp.asarray(rng.standard_normal((T, C, 256)), jnp.float32)
+
+    def step(params, bptt, state, frames, key):
+        feats = binner.log_freq_bins(frames)
+        return ac.classify_train_windows(
+            cfg, hyper, groups, params, bptt, state, feats, targets,
+            train_p, clf.error_weight, live, key,
+            jnp.float32(0.95), jnp.float32(0.0))
+
+    fn = jax.jit(step)
+    params, bptt, state = clf.params, clf.bptt, clf.state
+    key = jax.random.PRNGKey(0)
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        params, bptt, state, stats = fn(params, bptt, state, frames, key)
+        float(stats.error)   # device->host read = reliable sync (axon)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times[2:])[len(times[2:]) // 2]
+    return T * C / dt
 
 
 def main():
@@ -94,12 +151,24 @@ def main():
         dt = sorted(times[2:])[len(times[2:]) // 2]
         best = max(best, S * T / dt)
 
+    # classify north star (BASELINE.json): windows/s vs the C window step
+    classify_base = max(c_classify_baseline(), c_classify_baseline())
+    classify = classify_compute_bench()
+
     print(json.dumps({
         "metric": "char-LM BPTT training throughput (h=199, depth=30, "
                   "42-sym alphabet; streams x chars/sec)",
         "value": round(best, 0),
         "unit": "net-steps/s",
         "vs_baseline": round(best / base, 1),
+        "extra": {
+            "classify_windows_per_sec": round(classify, 0),
+            "classify_c_baseline_windows_per_sec": round(classify_base, 0),
+            "classify_vs_baseline": round(classify / classify_base, 1),
+            "classify_note": "compute-only (device-resident PCM frames): "
+                "window+FFT+40 log bins+h=199 fwd+depth-30 BPTT+apply per "
+                "window, 1000 channels; C baseline bench_classify_baseline.c",
+        },
     }))
 
 

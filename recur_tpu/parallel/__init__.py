@@ -1,5 +1,6 @@
 from recur_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    shard_map_train_chunk,
     shard_train_args,
     sharded_train_chunk,
 )

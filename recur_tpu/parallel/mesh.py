@@ -37,7 +37,13 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     n = len(devices)
     if n_data is None:
         n_data = n // n_model
-    assert n_data * n_model <= n, (n_data, n_model, n)
+    if n_data * n_model > n:
+        raise ValueError(
+            f"mesh data={n_data} x model={n_model} needs "
+            f"{n_data * n_model} devices but only {n} are visible "
+            f"(backend={jax.default_backend()!r}); force a virtual CPU mesh "
+            "with XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            "jax.config.update('jax_platforms', 'cpu') before any device use")
     devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
 
@@ -100,7 +106,13 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
         return engine.char_train_chunk(cfg, hyper, params, bptt, state,
                                        tokens, key, momentum, noise)
 
-    return jax.jit(fn, in_shardings=in_shardings)
+    # pin outputs to the input shardings so chunk outputs feed straight back
+    # in as the next chunk's carry (GSPMD would otherwise pick layouts like
+    # hidden:[data,model] that mismatch in_shardings on the next call)
+    out_shardings = (in_shardings[0], in_shardings[1], in_shardings[2],
+                     NamedSharding(mesh, P()))
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
 
 
 # ---------------------------------------------------------------------------
