@@ -331,6 +331,8 @@ class AudioClassifier:
         self.mfccs = mfccs
         self.delta_features = delta_features
         self.intensity_feature = intensity_feature
+        self.window_type = WindowType(window_type)
+        self.net_basename = basename
         self.binner = AudioBinner(
             window_size, window_type,
             mfccs if mfccs else CLASSIFY_N_FFT_BINS,
@@ -360,7 +362,9 @@ class AudioClassifier:
                 activation=Activation(activation),
                 bottom_input_size=self.n_features if bottom_layer else 0,
                 metadata=metadata)
-            p = winit.default_init_params(self.net.cfg)
+            p = dataclasses.replace(
+                winit.default_init_params(self.net.cfg),
+                method=nn.InitMethod(weight_init_method))
             winit.randomise_weights(self.net, p)
         cfg = self.net.cfg
         self.hyper = TrainHyper(
@@ -407,11 +411,12 @@ class AudioClassifier:
         return ("classes %s\nwindow_size %d\nmfccs %d\n"
                 "delta_features %d\nintensity_feature %d\nlag %f\n"
                 "min_frequency %f\nmax_frequency %f\nknee_frequency %f\n"
-                "focus_frequency %f\n" % (
+                "focus_frequency %f\nwindow_type %d\n" % (
                     self.classes_string, self.window_size, self.mfccs,
                     self.delta_features, self.intensity_feature, self.lag,
                     self.min_frequency, self.max_frequency,
-                    self.knee_frequency, self.focus_frequency))
+                    self.knee_frequency, self.focus_frequency,
+                    int(self.window_type)))
 
     def _reconcile_metadata(self, metadata):
         """On load, the net file's stored feature/window parameters win over
@@ -435,7 +440,8 @@ class AudioClassifier:
                 ("min_frequency", "min_frequency", float),
                 ("max_frequency", "max_frequency", float),
                 ("knee_frequency", "knee_frequency", float),
-                ("focus_frequency", "focus_frequency", float)):
+                ("focus_frequency", "focus_frequency", float),
+                ("window_type", "window_type", int)):
             if key in kv:
                 want = conv(float(kv[key]))
                 got = getattr(self, attr)
@@ -451,9 +457,12 @@ class AudioClassifier:
             print("classify: net metadata overrides requested parameters: "
                   + ", ".join(f"{k} {a}->{b}" for k, a, b in mismatches),
                   file=sys.stderr)
-            # rebuild the frontend to match the file
+            # rebuild the frontend to match the file (including the window
+            # function — a net trained with a Vorbis window must not reload
+            # onto a Hann frontend)
+            self.window_type = WindowType(int(self.window_type))
             self.binner = AudioBinner(
-                self.window_size, WindowType.HANN,
+                self.window_size, self.window_type,
                 self.mfccs if self.mfccs else CLASSIFY_N_FFT_BINS,
                 self.min_frequency, self.max_frequency, self.knee_frequency,
                 self.focus_frequency, self.rate, value_size=2)

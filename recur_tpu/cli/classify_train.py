@@ -73,6 +73,19 @@ def build_parser():
            "class events per audio file")
     a("--timing-threshold", type=float, default=0.0)
     a("--timing-max-duration", type=float, default=0.0)
+    a("--activity-bias", type=int, default=0,
+      help="add N duplicate training streams of only the files with timed "
+           "class changes (classify-train:127-134)")
+    a("--files-per-epoch", type=int, default=0,
+      help="files drawn per training cycle (default: one per channel)")
+    a("--test-interval", type=int, default=1,
+      help="run a test epoch every N training cycles")
+    a("--normalise-features", action="store_true",
+      help="estimate per-feature offsets/scales from the training files "
+           "(the find-feature-means workflow)")
+    a("--no-save-net", action="store_true")
+    a("--weight-init-method", type=int, default=1,
+      help="0=zero 1=flat 2=fan-in 3=runs")
     a("--rng-seed", type=int, default=11)
     a("--quiet", "-q", action="count", default=0)
     return p
@@ -97,6 +110,7 @@ def main(argv=None) -> int:
         balanced_training_bias=opt.balanced_training,
         rng_seed=opt.rng_seed, basename=opt.basename,
         net_filename=opt.net_filename, force_load=opt.reload,
+        weight_init_method=opt.weight_init_method,
         log_file=opt.log_file)
     timings = None
     if opt.timings:
@@ -105,13 +119,20 @@ def main(argv=None) -> int:
             opt.timings, opt.classes.split(","),
             threshold=opt.timing_threshold,
             max_duration=opt.timing_max_duration)
-    trainer = Trainer(clf, load_file_list(opt.train_list),
+    train_files = load_file_list(opt.train_list)
+    if opt.normalise_features:
+        from recur_tpu.audio.trainer import estimate_feature_normalisation
+        estimate_feature_normalisation(clf, train_files[:16])
+    trainer = Trainer(clf, train_files,
                       load_file_list(opt.test_list),
                       lr_schedule=opt.learn_rate_schedule,
                       lr_decay=opt.learn_rate_decay,
                       lr_min=opt.learn_rate_min, seed=opt.rng_seed,
-                      verbose=opt.quiet < 1, timings=timings)
-    result = trainer.run(opt.cycles)
+                      verbose=opt.quiet < 1, timings=timings,
+                      activity_bias=opt.activity_bias,
+                      files_per_epoch=opt.files_per_epoch or None,
+                      no_save_net=opt.no_save_net)
+    result = trainer.run(opt.cycles, test_interval=opt.test_interval)
     if opt.quiet < 2:
         print("final:", result)
     return 0

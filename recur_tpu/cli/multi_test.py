@@ -41,21 +41,19 @@ def main(argv=None) -> int:
         tr = Trainer(clf, [], files, verbose=False)
         scores, t = [], []
         C = clf.n_channels
+        clf.training = False
         for i in range(0, len(files), C):
-            batch = files[i:i + C]
-            while len(batch) < C:
-                batch = list(batch) + [batch[-1]]
-            pcm, targets = tr._load_batch(batch)
-            clf.training = False
+            batch = list(files[i:i + C])
             clf.reset_state()
-            clf.set_target_string(" ".join(
-                f"c{j}t0:{x}" for j, x in enumerate(targets)))
-            for m in clf.feed(pcm) + clf.flush():
-                for j, x in enumerate(targets):
+            clf.events = []
+            msgs = tr._run_stream(tr._assign_files(batch))
+            for m in msgs:
+                for j in range(min(C, len(batch))):
+                    tgt = m.get(f"channel {j}, group 0 target")
                     pk = f"channel {j}, group 0 {group0[0]}"
-                    if pk in m:
+                    if tgt is not None and pk in m:
                         scores.append(m[pk])
-                        t.append(x[0] == group0[0])
+                        t.append(tgt == group0[0])
         results[net_path] = cstats.calc_core_stats(np.array(scores),
                                                    np.array(t))
         all_scores.append(np.array(scores))

@@ -7,7 +7,9 @@ import numpy as np
 import pytest
 
 from recur_tpu.audio.classify import AudioClassifier
-from recur_tpu.audio.trainer import LabelledFile, Trainer, class_from_filename
+from recur_tpu.audio.trainer import (LabelledFile, Trainer,
+                                     class_from_filename,
+                                     estimate_feature_normalisation)
 from recur_tpu.audio.wavio import read_wav, write_wav
 
 RATE = 8000
@@ -53,11 +55,93 @@ def test_trainer_end_to_end(tmp_path):
                           hidden_size=39, learn_rate=0.0001, rng_seed=7,
                           net_filename=str(tmp_path / "net.net"),
                           log_file=str(tmp_path / "c.log"))
-    tr = Trainer(clf, train, test, seed=2, verbose=False)
-    r0 = tr.test_epoch()
+    tr = Trainer(clf, train, test, seed=2, verbose=False,
+                 files_per_epoch=len(train))
     r = tr.run(cycles=3)
     assert r["windows"] > 100
-    assert r["auc"] > max(r0.get("auc", 0.5), 0.8), (r0, r)
+    assert r["auc"] > 0.8, r
+    assert r["accuracy"] > 0.8, r
     # record nets were saved
     best = [f for f in os.listdir(tmp_path) if "best-" in f]
     assert best, os.listdir(tmp_path)
+
+
+def make_group_wavs(d, n_per_class=4, seconds=1.5):
+    """3-class x 2-group corpus with orthogonal cues: group 0 = base tone
+    band (M/k/w), group 1 = presence of a 3.6kHz marker tone (A/b)."""
+    rng = np.random.default_rng(1)
+    bands = {"M": (300, 500), "k": (900, 1300), "w": (2200, 3200)}
+    markers = {"A": 1500.0, "b": 0.0}
+    files = []
+    for i in range(n_per_class):
+        for c0, band in bands.items():
+            for c1, amp in markers.items():
+                t = np.arange(int(RATE * seconds)) / RATE
+                f = rng.uniform(*band)
+                pcm = (3000 * np.sin(2 * np.pi * f * t)
+                       + amp * np.sin(2 * np.pi * 3600.0 * t)
+                       + rng.normal(0, 300, len(t)))
+                path = os.path.join(d, f"{c0}{c1}-{i}.wav")
+                write_wav(path, pcm, RATE)
+                files.append(LabelledFile(path, c0 + c1))
+    return files
+
+
+def test_trainer_multigroup(tmp_path):
+    """3-class + 2-class independent groups: per-group AUC/accuracy must
+    both be learnable and reported (VERDICT round-1 item 4)."""
+    files = make_group_wavs(str(tmp_path))
+    rng = np.random.default_rng(3)
+    rng.shuffle(files)
+    train, test = files[:18], files[18:]
+    clf = AudioClassifier(classes="Mkw,Ab", n_channels=3, window_size=256,
+                          hidden_size=63, learn_rate=0.0001, rng_seed=5,
+                          net_filename=str(tmp_path / "net.net"))
+    estimate_feature_normalisation(clf, train[:6])
+    tr = Trainer(clf, train, test, seed=4, verbose=False,
+                 files_per_epoch=len(train), lr_decay=0.95)
+    r = tr.run(cycles=4)
+    assert len(r["groups"]) == 2
+    g0, g1 = r["groups"]
+    # group 0 is 3-class: per-class AUC lists exist for all three
+    assert set(g0["classes"]) == {"M", "k", "w"}
+    assert set(g1["classes"]) == {"A", "b"}
+    assert g0["auc"] > 0.75, r
+    assert g1["auc"] > 0.75, r
+    for cls in ("M", "k", "w"):
+        assert "auc" in g0["classes"][cls]
+
+
+def test_trainer_full_length_unequal_files(tmp_path):
+    """Unequal-length files must train to their full lengths (the round-1
+    loader truncated each batch to its shortest file)."""
+    rng = np.random.default_rng(0)
+    files = []
+    secs = [0.5, 2.0, 1.0, 3.0]
+    for i, s in enumerate(secs):
+        t = np.arange(int(RATE * s)) / RATE
+        cls = "Mx"[i % 2]
+        f = (400, 2000)[i % 2]
+        pcm = 4000 * np.sin(2 * np.pi * f * t) + rng.normal(0, 300, len(t))
+        path = os.path.join(str(tmp_path), f"{cls}-{i}.wav")
+        write_wav(path, pcm, RATE)
+        files.append(LabelledFile(path, cls))
+    clf = AudioClassifier(classes="Mx", n_channels=2, window_size=256,
+                          hidden_size=15, learn_rate=0.0001, rng_seed=1,
+                          net_filename=str(tmp_path / "net.net"))
+    tr = Trainer(clf, files, files, seed=1, verbose=False,
+                 files_per_epoch=len(files))
+    gen0 = clf.generation
+    tr.train_epoch()
+    half = clf.window_size // 2
+    total_samples = sum(int(RATE * s) for s in secs)
+    # windows actually trained (generation counts every scanned window,
+    # including block padding; trained windows come from the stats log) —
+    # at minimum, the full audio must have been *scanned*: the per-channel
+    # plans cover every sample, so windows >= total_samples / half
+    scanned = (clf.generation - gen0) * clf.n_channels
+    assert scanned * half >= total_samples, (scanned, total_samples)
+    # and much more than the truncating loader would have seen:
+    # old behaviour = 2 batches x min-length -> (0.5s + 1.0s) x 2 channels
+    truncated_windows = int((0.5 + 1.0) * RATE / half) * 2
+    assert scanned > truncated_windows * 1.5, (scanned, truncated_windows)
