@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from recur_tpu import nn
+from recur_tpu.audio import properties
 from recur_tpu.engine import TrainHyper
 from recur_tpu.dsp.mfcc import AudioBinner
 from recur_tpu.dsp.windows import WindowType
@@ -225,6 +226,7 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
     params, bptt = jax.lax.cond(err_sum > 0, do_apply,
                                 lambda a: a, (params, bptt))
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=bptt.generation + 1)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
@@ -407,16 +409,11 @@ class AudioClassifier:
         self.used_counts = np.zeros(cfg.o_size, np.float64)
 
     # -- metadata / filename (set_net_filename, gstclassify.c:688-705) --
+    # Both directions generated from the single property registry
+    # (audio/properties.py) so the metadata keys, the constructor surface
+    # and the CLI cannot drift apart (SURVEY §5.6).
     def _construct_metadata(self) -> str:
-        return ("classes %s\nwindow_size %d\nmfccs %d\n"
-                "delta_features %d\nintensity_feature %d\nlag %f\n"
-                "min_frequency %f\nmax_frequency %f\nknee_frequency %f\n"
-                "focus_frequency %f\nwindow_type %d\n" % (
-                    self.classes_string, self.window_size, self.mfccs,
-                    self.delta_features, self.intensity_feature, self.lag,
-                    self.min_frequency, self.max_frequency,
-                    self.knee_frequency, self.focus_frequency,
-                    int(self.window_type)))
+        return properties.metadata_string(self)
 
     def _reconcile_metadata(self, metadata):
         """On load, the net file's stored feature/window parameters win over
@@ -425,29 +422,15 @@ class AudioClassifier:
         another's features."""
         if not metadata:
             return
-        kv = {}
-        for line in metadata.splitlines():
-            if " " in line:
-                k, v = line.split(" ", 1)
-                kv[k] = v
+        kv = properties.parse_metadata(metadata)
         mismatches = []
-        for key, attr, conv in (
-                ("window_size", "window_size", int),
-                ("mfccs", "mfccs", int),
-                ("delta_features", "delta_features", int),
-                ("intensity_feature", "intensity_feature", int),
-                ("lag", "lag", float),
-                ("min_frequency", "min_frequency", float),
-                ("max_frequency", "max_frequency", float),
-                ("knee_frequency", "knee_frequency", float),
-                ("focus_frequency", "focus_frequency", float),
-                ("window_type", "window_type", int)):
-            if key in kv:
-                want = conv(float(kv[key]))
-                got = getattr(self, attr)
-                if abs(float(want) - float(got)) > 1e-6:
-                    mismatches.append((key, got, want))
-                    setattr(self, attr, want)
+        for key, want in kv.items():
+            if key == "classes":
+                continue
+            got = getattr(self, key)
+            if abs(float(want) - float(got)) > 1e-6:
+                mismatches.append((key, got, want))
+                setattr(self, key, want)
         if "classes" in kv and kv["classes"] != self.classes_string:
             mismatches.append(("classes", self.classes_string, kv["classes"]))
             self.classes_string = kv["classes"]
@@ -482,17 +465,10 @@ class AudioClassifier:
                 f"-o{n_outputs}-{self.rate}Hz-w{self.window_size}.net")
 
     # -- GObject-property-style live control (gstclassify's ~50 properties
-    # and the pending-properties pattern, gstclassify.c:1679-1828) --
-    PROPERTY_ALIASES = {
-        "learn-rate": "learn_rate",
-        "momentum": "momentum",
-        "training": "training",
-        "target": "_target_string",
-        "lag": "lag",
-        "ignored-windows": "ignored_windows",
-        "balanced-training": "balanced_training_bias",
-        "forget": "_forget",
-    }
+    # and the pending-properties pattern, gstclassify.c:1679-1828).
+    # Generated from the registry's immediate-timing rows, plus the
+    # every-setup lag alias.
+    PROPERTY_ALIASES = {**properties.immediate_aliases(), "lag": "lag"}
 
     def set_property(self, name: str, value):
         """Live property changes: learn-rate/momentum update traced scalars

@@ -62,6 +62,7 @@ def tanh_train_step(cfg, hyper, params, bptt, state, x, target, key):
                                   d.bottom_delta, hyper.learning_style,
                                   bptt.momentum, 1.0)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=bptt.generation + 1)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, key)

@@ -409,7 +409,8 @@ class Trainer:
                 dprime += dp
                 cres = {"right_p": right_p, "wrong_p": wrong_p, "dprime": dp}
                 lst = auc_lists.get((gi, x))
-                if lst:
+                # AUC needs at least one positive and one negative example
+                if lst and 0 < sum(c for _, c in lst) < len(lst):
                     scores = np.array([p for p, _ in lst])
                     truth = np.array([c for _, c in lst])
                     core = cstats.calc_core_stats(scores, truth)

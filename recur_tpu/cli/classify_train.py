@@ -11,6 +11,8 @@ import argparse
 import sys
 
 from recur_tpu.audio.classify import AudioClassifier
+from recur_tpu.audio.properties import (add_classify_args,
+                                        classifier_kwargs_from_args)
 from recur_tpu.audio.trainer import LabelledFile, Trainer, class_from_filename
 
 
@@ -33,40 +35,20 @@ def load_file_list(path: str) -> list[LabelledFile]:
 
 def build_parser():
     p = argparse.ArgumentParser(prog="classify-train", description=__doc__)
+    # the classifier surface is GENERATED from the single property registry
+    # (audio/properties.py) — the SURVEY §5.6 single-source-of-truth pattern,
+    # like the reference's GObject-introspected argparse (classify.py:744-773)
+    add_classify_args(p, skip=("classes",))
     a = p.add_argument
-    a("--classes", "-c", required=True,
+    a("--classes", "-c", required=True, dest="classes",
       help="class group string, e.g. 'Mm' or 'Mm,Kk,Wx'")
     a("--train-list", required=True, help="file list for training")
     a("--test-list", required=True, help="file list for testing")
-    a("--channels", "-n", type=int, default=12)
-    a("--window-size", "-w", type=int, default=256)
-    a("--hidden-size", "-H", type=int, default=199)
-    a("--mfccs", type=int, default=0)
-    a("--delta-features", type=int, default=0)
-    a("--intensity-feature", type=int, default=0)
-    a("--min-frequency", type=float, default=100.0)
-    a("--max-frequency", type=float, default=0.0)
-    a("--knee-frequency", type=float, default=700.0)
-    a("--focus-frequency", type=float, default=0.0)
-    a("--lag", type=float, default=0.0)
-    a("--learn-rate", "-l", type=float, default=0.0001)
     a("--learn-rate-decay", type=float, default=0.9)
     a("--learn-rate-min", type=float, default=1e-6)
     a("--learn-rate-schedule", default="sqrt-exponential",
       choices=["flat", "sqrt-exponential", "inverse-time"])
-    a("--momentum", "-m", type=float, default=0.95)
-    a("--momentum-soft-start", type=float, default=0.0)
-    a("--learning-style", type=int, default=1)
-    a("--bptt-depth", type=int, default=30)
-    a("--bottom-layer", type=int, default=0)
-    a("--presynaptic-noise", type=float, default=0.0)
-    a("--balanced-training", type=float, default=0.0)
-    a("--error-weight", default=None)
-    a("--ignored-windows", type=int, default=0)
-    a("--basename", default="classify")
-    a("--net-filename", "-f", default=None)
     a("--reload", action="store_true")
-    a("--log-file", default="classify.log")
     a("--cycles", type=int, default=10)
     a("--timings", default=None,
       help="timing file (toggle / JSON-call / group formats) giving timed "
@@ -84,34 +66,15 @@ def build_parser():
       help="estimate per-feature offsets/scales from the training files "
            "(the find-feature-means workflow)")
     a("--no-save-net", action="store_true")
-    a("--weight-init-method", type=int, default=1,
-      help="0=zero 1=flat 2=fan-in 3=runs")
-    a("--rng-seed", type=int, default=11)
     a("--quiet", "-q", action="count", default=0)
     return p
 
 
 def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
-    clf = AudioClassifier(
-        classes=opt.classes, n_channels=opt.channels,
-        window_size=opt.window_size, hidden_size=opt.hidden_size,
-        mfccs=opt.mfccs, delta_features=opt.delta_features,
-        intensity_feature=opt.intensity_feature,
-        min_frequency=opt.min_frequency, max_frequency=opt.max_frequency,
-        knee_frequency=opt.knee_frequency, focus_frequency=opt.focus_frequency,
-        lag=opt.lag, ignored_windows=opt.ignored_windows,
-        learn_rate=opt.learn_rate, momentum=opt.momentum,
-        momentum_soft_start=opt.momentum_soft_start,
-        learning_style=opt.learning_style, bptt_depth=opt.bptt_depth,
-        bottom_layer=opt.bottom_layer,
-        presynaptic_noise=opt.presynaptic_noise,
-        error_weight=opt.error_weight,
-        balanced_training_bias=opt.balanced_training,
-        rng_seed=opt.rng_seed, basename=opt.basename,
-        net_filename=opt.net_filename, force_load=opt.reload,
-        weight_init_method=opt.weight_init_method,
-        log_file=opt.log_file)
+    kwargs = classifier_kwargs_from_args(opt)
+    kwargs["force_load"] = opt.reload
+    clf = AudioClassifier(**kwargs)
     timings = None
     if opt.timings:
         from recur_tpu.audio.timings import load_binary_timings

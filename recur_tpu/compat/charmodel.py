@@ -211,10 +211,10 @@ class Net:
 
     @property
     def ih_scale(self) -> float:
-        """The reference exposes bptt->ih_scale (the last emergency BPTT
-        scale, py-recur-text.c:601-634).  Here it is a per-step, per-stream
-        internal of calc_deltas; 1.0 means "no emergency clip"."""
-        return 1.0
+        """bptt->ih_scale (py-recur-text.c:601-634): the last emergency BPTT
+        scale, a live training-health signal; 1.0 means "no emergency clip".
+        With multiple streams this reports the strongest intervention."""
+        return float(jnp.min(self._bptt.ih_scale))
 
     @property
     def ho_scale(self) -> float:
@@ -290,7 +290,9 @@ class Net:
         self._state = _nn.new_state(cfg, S)
         mef = jnp.full((S,), float(self._bptt.min_error_factor[0]),
                        jnp.float32)
-        self._bptt = dataclasses.replace(self._bptt, min_error_factor=mef)
+        self._bptt = dataclasses.replace(
+            self._bptt, min_error_factor=mef,
+            ih_scale=jnp.ones((S,), jnp.float32))
 
     def _train_streams(self, block: np.ndarray, targets: np.ndarray,
                        leakage: float):

@@ -131,9 +131,10 @@ class Net:
 
     @property
     def ih_scale(self) -> float:
-        """bptt->ih_scale: the reference's last emergency BPTT scale; a
-        per-step internal of calc_deltas here, so reads as 1.0."""
-        return 1.0
+        """bptt->ih_scale: the last emergency BPTT scale (recur-nn.c:
+        393-402), a live training-health signal; 1.0 = no clip.  With
+        multiple streams this reports the strongest intervention (min)."""
+        return float(jnp.min(self._bptt.ih_scale))
 
     @property
     def presynaptic_noise(self) -> float:

@@ -132,6 +132,7 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
                                       hyper.learning_style, momentum,
                                       hyper.bottom_learn_rate_scale)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=gen)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
@@ -286,6 +287,7 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
                                       hyper.learning_style, momentum,
                                       hyper.bottom_learn_rate_scale)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=gen)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)

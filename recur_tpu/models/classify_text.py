@@ -110,6 +110,7 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
                                   d.bottom_delta, hyper.learning_style,
                                   momentum, hyper.bottom_learn_rate_scale)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=bptt.generation + 1)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)

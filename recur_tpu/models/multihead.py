@@ -102,6 +102,7 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     else:
         params, bptt = do_apply((params, bptt))
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=gen)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)

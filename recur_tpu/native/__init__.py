@@ -68,6 +68,9 @@ def _load():
     lib.encode_text.restype = ctypes.c_int64
     lib.encode_text.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int,
                                 ctypes.c_uint8, u8p]
+    lib.scale_weights_to_gain.argtypes = [
+        rp, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_int]
 
 
 _load()
@@ -93,6 +96,20 @@ def init_flat(rng, array: np.ndarray, width: int, height: int, offset: int,
     st = rng_state(rng)
     lib.init_flat(ctypes.byref(st), array, width, height, array.shape[1],
                   offset, variance, int(shape), perforation)
+    sync_rng(rng, st)
+    return True
+
+
+def scale_weights_to_gain(rng, ih: np.ndarray, h_size: int, hidden_size: int,
+                          target_gain: float, generations: int) -> bool:
+    """Native rnn_scale_initial_weights inner loop; mutates ih in place and
+    advances rng.  Returns False if the native lib is unavailable."""
+    if lib is None:
+        return False
+    assert ih.dtype == np.float32 and ih.flags.c_contiguous
+    st = rng_state(rng)
+    lib.scale_weights_to_gain(ctypes.byref(st), ih, h_size, hidden_size,
+                              ih.size, target_gain, generations)
     sync_rng(rng, st)
     return True
 

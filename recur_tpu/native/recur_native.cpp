@@ -108,6 +108,47 @@ void init_flat(rng_t *r, float *array, int width, int height, int stride,
   }
 }
 
+// rnn_scale_initial_weights (recur-nn.c:1027-1076): iteratively scale the
+// ih matrix toward a target forward gain by simulating `generations` random
+// ReLU activation vectors.  Same RNG call order as the Python fallback
+// (ops/init.py scale_initial_weights), which at h=199 spends minutes on the
+// ~2M sequential cheap_gaussian calls this does in well under a second.
+void scale_weights_to_gain(rng_t *r, float *ih, int h_size, int hidden_size,
+                           int64_t n_elements, float target_gain,
+                           int generations) {
+  float *layer_in = new float[h_size]();
+  float *out = new float[h_size];
+  for (int j = 1; j < generations; j++) {
+    layer_in[0] = 1.0f;
+    float sum_in = 1.0f;
+    for (int i = 1; i < hidden_size; i++) {
+      float n = cheap_gaussian(r);
+      n = n > 0.0f ? n : 0.0f;
+      layer_in[i] = n;
+      sum_in += n * n;
+    }
+    for (int x = 0; x < h_size; x++) out[x] = 0.0f;
+    for (int y = 0; y < hidden_size + 1; y++) {
+      float in = layer_in[y];
+      if (in != 0.0f) {
+        const float *w = ih + (int64_t)y * h_size;
+        for (int x = 0; x < h_size; x++) out[x] += in * w[x];
+      }
+    }
+    out[0] = 1.0f;
+    float sum_out = 0.0f;
+    for (int x = 0; x < hidden_size; x++) {
+      float h = out[x] > 0.0f ? out[x] : 0.0f;
+      sum_out += h * h;
+    }
+    float ratio = sum_out / sum_in;
+    float adj = (target_gain * 10 + j) / (ratio * 10 + j);
+    for (int64_t i = 0; i < n_elements; i++) ih[i] *= adj;
+  }
+  delete[] layer_in;
+  delete[] out;
+}
+
 // Interleaved s16 PCM -> [n_windows, n_channels, window] float frames with
 // 50% overlap; `tail` is the [n_channels, window/2] carry between calls.
 // Returns the number of windows produced.

@@ -199,6 +199,10 @@ class BpttState:
     momentum: jax.Array              # f32 scalar
     momentum_weight: jax.Array       # f32 scalar
     min_error_factor: jax.Array      # f32 [S]
+    # last emergency BPTT scale per stream (recur-nn.c:393-402); 1.0 = no
+    # clip.  Live training-health signal only — the reference marks
+    # bptt->ih_scale "temporary" and does not serialize it.
+    ih_scale: jax.Array              # f32 [S]
     generation: jax.Array            # u32 scalar
     # accumulated deltas for diachronic batching
     ih_delta: jax.Array
@@ -249,6 +253,7 @@ def new_bptt_state(cfg: RnnConfig, n_streams: int, learn_rate: float = 1e-3,
         momentum_weight=jnp.float32(RNN_MOMENTUM_WEIGHT),
         min_error_factor=jnp.full((n_streams,), BASE_MIN_ERROR_FACTOR * cfg.h_size,
                                   jnp.float32),
+        ih_scale=jnp.ones((n_streams,), jnp.float32),
         generation=jnp.uint32(0),
         ih_delta=jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32),
         ho_delta=jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32),

@@ -245,13 +245,22 @@ def _init_runs(rng: RecurRng, cfg: RnnConfig, ih: np.ndarray, p: InitParams):
             add_random_input(e)
 
 
-def scale_initial_weights(net: Net, target_gain: float):
+def scale_initial_weights(net: Net, target_gain: float,
+                          generations: int = 10000):
     """rnn_scale_initial_weights (recur-nn.c:1027-1076): iteratively scale ih
-    toward a target forward gain by simulating random ReLU activations."""
+    toward a target forward gain by simulating random ReLU activations.
+    Uses the native fast path when available (~2M sequential gaussian draws
+    take minutes in Python at h=199, <1s in C++)."""
+    import jax.numpy as jnp
+    from recur_tpu import native
+
     cfg = net.cfg
     rng = net.rng
-    ih = np.asarray(net.params.ih).copy()
-    generations = 10000
+    ih = np.array(net.params.ih, np.float32, order="C")  # writable copy
+    if native.scale_weights_to_gain(rng, ih, cfg.h_size, cfg.hidden_size,
+                                    target_gain, generations):
+        net.params = dataclasses.replace(net.params, ih=jnp.asarray(ih))
+        return
     for j in range(1, generations):
         layer_in = np.zeros(cfg.h_size, np.float32)
         layer_in[0] = 1.0

@@ -123,7 +123,8 @@ def apply_learning(cfg: RnnConfig, params: RnnParams, bptt: BpttState,
         bottom_momentum=bptt.bottom_momentum, bottom_aux=bptt.bottom_aux,
         learn_rate=bptt.learn_rate, ho_scale=bptt.ho_scale,
         momentum=bptt.momentum, momentum_weight=bptt.momentum_weight,
-        min_error_factor=bptt.min_error_factor, generation=bptt.generation,
+        min_error_factor=bptt.min_error_factor, ih_scale=bptt.ih_scale,
+        generation=bptt.generation,
         ih_delta=bptt.ih_delta, ho_delta=bptt.ho_delta,
         bottom_delta=bptt.bottom_delta)
     if cfg.has_bottom and bottom_delta is not None and params.bottom is not None:

@@ -64,7 +64,7 @@ def _bptt_specs(cfg: RnnConfig) -> BpttState:
         ih_aux=mat_ih if aux else None, ho_aux=mat_ho if aux else None,
         bottom_momentum=b, bottom_aux=b if aux else None,
         learn_rate=P(), ho_scale=P(), momentum=P(), momentum_weight=P(),
-        min_error_factor=P("data"), generation=P(),
+        min_error_factor=P("data"), ih_scale=P("data"), generation=P(),
         ih_delta=mat_ih, ho_delta=mat_ho, bottom_delta=b)
 
 
@@ -163,6 +163,7 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
                                            hyper.learning_style, momentum,
                                            1.0)
             bptt2 = _dc.replace(bptt2, min_error_factor=d.min_error_factor,
+                                ih_scale=d.stats["ih_scale"],
                                 generation=bptt2.generation + 1)
             ent = jax.lax.psum(jnp.sum(-capped_log2(p_t)), "data")
             return (params, bptt2, state), ent
@@ -172,10 +173,11 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
         return params, bptt, state, ents.sum()
 
     pspec = jax.tree.map(lambda _: P(), _param_specs(cfg))
-    # matrices replicated; per-stream min_error_factor shards over data
+    # matrices replicated; per-stream min_error_factor/ih_scale shard over
+    # data
     bspec = _dc.replace(
         jax.tree.map(lambda _: P(), _bptt_specs(cfg)),
-        min_error_factor=P("data"))
+        min_error_factor=P("data"), ih_scale=P("data"))
     sspec = RnnState(hidden=P("data", None), history=P("data", None, None),
                      head=P())
     fn = shard_map(

@@ -255,6 +255,7 @@ def _recur_train_step(cfg, hyper, params, bptt, state, feats, targets, key):
                                   None, hyper.learning_style, bptt.momentum,
                                   1.0)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=bptt.generation + 1)
     params, bptt = condition_net(cfg, params, bptt, key)
     return params, bptt, state

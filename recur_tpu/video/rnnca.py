@@ -286,6 +286,7 @@ def _rnnca_train_step(cfg, hyper, params, bptt, state, feats, targets, key,
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
                                   None, hyper.learning_style, momentum, 1.0)
     bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
                                generation=bptt.generation + 1)
     params, bptt = condition_net(cfg, params, bptt, key)
     return params, bptt, state

@@ -188,3 +188,24 @@ class TestNumpyNet:
         feats = np.eye(4, dtype=np.float32)[np.arange(20) % 4]
         net.train(feats, feats, n_epochs=1)
         assert net.generation == 20
+
+
+def test_ih_scale_live_under_explosion():
+    """bptt->ih_scale is a live training-health signal: with an absurd learn
+    rate the BPTT error explodes and the emergency scale must drop below 1
+    (recur-nn.c:393-402; round-1 weak #9 returned a constant 1.0)."""
+    import numpy as np
+    import rnnumpy
+
+    rng = np.random.default_rng(0)
+    net = rnnumpy.Net(8, 15, 4, learn_rate=50.0, rng_seed=3,
+                      learning_method=6)
+    assert net.ih_scale == 1.0
+    feats = rng.standard_normal((200, 8)).astype(np.float32) * 3
+    targets = np.zeros((200, 4), np.float32)
+    targets[np.arange(200), rng.integers(0, 4, 200)] = 1
+    seen = []
+    for _ in range(5):
+        net.train(feats, targets, n_epochs=1)
+        seen.append(net.ih_scale)
+    assert min(seen) < 1.0, seen
