@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--n-per-class", type=int, default=12)
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--learn-rate", type=float, default=2e-4)
+    p.add_argument("--activation", type=int, default=2,
+                   help="1 ReLU, 2 ReSQRT (default: ReSQRT — plain ReLU "
+                        "recurrence at h=199 with dense features sits on a "
+                        "forward-gain knife edge)")
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--keep", default=None, help="directory to keep WAVs in")
     opt = p.parse_args(argv)
@@ -85,10 +89,13 @@ def main(argv=None):
     clf = AudioClassifier(classes="tcn", n_channels=opt.channels,
                           window_size=256, hidden_size=opt.hidden_size,
                           learn_rate=opt.learn_rate, rng_seed=opt.seed,
+                          activation=opt.activation,
                           delta_features=1, intensity_feature=1,
                           net_filename=os.path.join(d, "demo.net"),
                           log_file=os.path.join(d, "demo.log"))
-    estimate_feature_normalisation(clf, train[:8])
+    mu, sc = estimate_feature_normalisation(clf, train[:8])
+    print(f"feature norm: offsets [{mu.min():.2f},{mu.max():.2f}] "
+          f"scales [{sc.min():.3f},{sc.max():.3f}]", flush=True)
     tr = Trainer(clf, train, test, seed=opt.seed, verbose=True,
                  files_per_epoch=max(len(train) // 2, opt.channels),
                  lr_decay=0.95)
@@ -99,9 +106,13 @@ def main(argv=None):
         tr.train_epoch()
         wps.append(tr.windows_per_second)
         result = tr.test_epoch()
+        h = np.asarray(clf.state.hidden)
         print(f"cycle {tr.cycle}: auc {result['auc']:.4f} "
               f"acc {result['accuracy']:.4f} "
-              f"train {tr.windows_per_second:,.0f} windows/s", flush=True)
+              f"train {tr.windows_per_second:,.0f} windows/s "
+              f"[h!=0 {float((h != 0).mean()):.2f} hmax {float(h.max()):.0f} "
+              f"ihmax {float(np.abs(np.asarray(clf.params.ih)).max()):.2f}]",
+              flush=True)
         if result["auc"] > 0.99 and i >= 2:
             break
     elapsed = time.time() - t0
