@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--confab-bias", type=float, default=0.0)
     a("--basename", default="text")
     a("--log-file", default="text.log")
+    a("--log-weight-sum", action="store_true",
+      help="log the ih weight abs-sum each report (can be expensive)")
     a("--filename", default=None, help="explicit net filename")
     a("--reload", action="store_true")
     a("--force-metadata", action="store_true")
@@ -140,6 +142,8 @@ def main(argv=None) -> int:
     flags = Flag.STANDARD
     if not opt.no_adaptive_min:
         flags |= Flag.BPTT_ADAPTIVE_MIN_ERROR
+    if opt.log_weight_sum:
+        flags |= Flag.LOG_WEIGHT_SUM
     style = LearningMethod(opt.learning_style)
     if style in (LearningMethod.ADADELTA, LearningMethod.RPROP):
         flags |= Flag.AUX_ARRAYS

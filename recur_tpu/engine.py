@@ -46,6 +46,7 @@ class StepStats(NamedTuple):
     depth: jax.Array       # [S] effective BPTT depth used
     ih_scale: jax.Array    # [S]
     top_error: jax.Array   # [S]
+    bptt_error: jax.Array  # [S] error sum where the BPTT walk stopped
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +145,7 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
         depth=d.stats["depth"],
         ih_scale=d.stats["ih_scale"],
         top_error=d.stats["top_error_scaled"],
+        bptt_error=d.stats["error_sum"],
     )
     return params, bptt, state, stats
 

@@ -273,7 +273,9 @@ class CharModel:
 
         report_counter = self.generation % self.report_interval
         t0 = time.monotonic()
-        acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0, "n": 0}
+        acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0, "depth": 0.0,
+               "ih_scale": 0.0, "top_error": 0.0, "bptt_error": 0.0,
+               "n": 0}
         # partial interval at entry keeps report cadence aligned with
         # net->generation, like report_scale in the reference
         i = start
@@ -290,6 +292,10 @@ class CharModel:
             acc["error"] += float(totals.error)
             acc["entropy"] += float(totals.entropy)
             acc["correct"] += float(totals.correct)
+            acc["depth"] += float(totals.depth)
+            acc["ih_scale"] += float(totals.ih_scale)
+            acc["top_error"] += float(totals.top_error)
+            acc["bptt_error"] += float(totals.bptt_error)
             acc["n"] += n * S
             i += n
             report_counter += n
@@ -301,7 +307,9 @@ class CharModel:
                 per_sec = acc["n"] / elapsed
                 self._report(acc, ventropy, per_sec, confab_size,
                              confab_bias, quietness)
-                acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0, "n": 0}
+                acc = {"error": 0.0, "entropy": 0.0, "correct": 0.0,
+                       "depth": 0.0, "ih_scale": 0.0, "top_error": 0.0,
+                       "bptt_error": 0.0, "n": 0}
             if stop and self.generation >= stop:
                 self._finalize()
                 return True
@@ -337,6 +345,27 @@ class CharModel:
         self.log.log_float("learn-rate", self.learn_rate)
         self.log.log_float("per_second", per_sec)
         self.log.log_int("generation", self.generation)
+        # per-generation net log keys (rnn_log_net + bptt logging,
+        # recur-nn.c:415-448, 762-770), reported as interval means here —
+        # keeps ./plot's DEFAULT_KEYS working
+        self.log.log_float("depth", acc["depth"] / n)
+        self.log.log_float("ih_scale", acc["ih_scale"] / n)
+        self.log.log_float("top_error_raw", acc["top_error"] / n)
+        self.log.log_float("error_sum", acc["bptt_error"] / n)
+        self.log.log_float("error_gain",
+                           acc["bptt_error"] / (acc["top_error"] + 1e-6))
+        self.log.log_float("error", t_error)
+        self.log.log_float("correct", accuracy)
+        if self.cfg.flags & nn.Flag.LOG_HIDDEN_SUM:
+            h = np.asarray(self.state.hidden)
+            self.log.log_float("hidden_sum", float(h.sum() / h.shape[0]))
+            self.log.log_float("hidden_magnitude", float(
+                np.sqrt((h * h).sum(axis=1)).mean()))
+            self.log.log_float("hidden_zeros", float(
+                (h == 0.0).sum(axis=1).mean() / self.cfg.hidden_size))
+        if self.cfg.flags & nn.Flag.LOG_WEIGHT_SUM:
+            self.log.log_float("weight_sum", float(
+                np.abs(np.asarray(self.params.ih)).sum()))
         self.log.flush()
         if self.save_net and self.filename:
             self.save(self.filename, backup=True)

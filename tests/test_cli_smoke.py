@@ -219,3 +219,24 @@ def test_text_predict_override_params(tmp_path):
     lr = [l for l in (tmp_path / "o3.log").read_text().splitlines()
           if l.startswith("learn-rate")][-1]
     assert lr.split()[1] == "0.007"
+
+
+def test_text_predict_log_keys(tmp_path):
+    """A fresh training log must carry every key ./plot's DEFAULT_KEYS wants
+    (recur-nn.c:415-448, 762-770; round-1 missing #6)."""
+    log = tmp_path / "t.log"
+    r = run_cli("recur_tpu.cli.text_predict",
+                ["--text", "/root/reference/test-images/erewhon.txt",
+                 "--stop-after", "3000", "--quiet", "--log-weight-sum",
+                 "--log-file", str(log),
+                 "--basename", str(tmp_path / "t"),
+                 "--filename", str(tmp_path / "t.net")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    keys = {line.split()[0] for line in log.read_text().splitlines()
+            if line.strip()}
+    default_keys = {"error_sum", "error", "depth", "error_gain", "correct",
+                    "top_error_raw", "weight_sum", "hidden_zeros",
+                    "hidden_magnitude", "hidden_sum", "ih_scale",
+                    "t_entropy", "v_entropy", "per_second"}
+    missing = default_keys - keys
+    assert not missing, missing

@@ -209,3 +209,26 @@ def test_ih_scale_live_under_explosion():
         net.train(feats, targets, n_epochs=1)
         seen.append(net.ih_scale)
     assert min(seen) < 1.0, seen
+
+
+def test_caravel_golden_scores():
+    """Forward-pass numerics pinned on the reference's shipped trained net:
+    per-class XE of a fixed sentence must match the stored golden vector to
+    float32 tolerance (py-recur-text.c:823-871 semantics)."""
+    import json
+    import os
+    from recur_tpu.compat import charmodel
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "caravel_scores.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    net = charmodel.Net.load(FIXTURE, json.loads)
+    enc = net.alphabet.encode_text(golden["sentence"].encode())
+    scores = net.test(enc)
+    assert set(scores) == set(golden["scores"])
+    for k, v in golden["scores"].items():
+        assert abs(scores[k] - v) < 1e-4 * max(1.0, abs(v)), (k, scores[k], v)
+    # ranking sanity: the golden best class stays the best
+    best = min(golden["scores"], key=golden["scores"].get)
+    assert min(scores, key=scores.get) == best
