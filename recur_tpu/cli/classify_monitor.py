@@ -32,19 +32,24 @@ def main(argv=None) -> int:
                           net_filename=opt.net_filename, force_load=True)
     clf.training = False
     pcm, _ = read_wav(opt.wav, target_rate=clf.rate)
-    g = clf.groups[0]
-    keys = [f"channel 0, group 0 {ch}" for ch in g.classes]
-    print(" time  " + " ".join(g.classes))
+    group_keys = [(gi, g, [f"channel 0, group {gi} {ch}"
+                           for ch in g.classes])
+                  for gi, g in enumerate(clf.groups)]
+    print(" time  " + " | ".join(g.classes for _, g, _ in group_keys))
     chunk = int(clf.rate * opt.interval)
     for i in range(0, len(pcm) - chunk, chunk):
         msgs = clf.feed(pcm[None, i:i + chunk]) + clf.flush()
         if not msgs:
             continue
-        probs = np.mean([[m[k] for k in keys] for m in msgs], axis=0)
-        best = int(np.argmax(probs))
-        colour = colourise_float01(float(probs[best]))
-        print(f"{i / clf.rate:6.1f} {bar_chart(probs, best)} "
-              f"{colour}{g.classes[best]} {probs[best]:.2f}{C_NORMAL}")
+        cols = [f"{i / clf.rate:6.1f}"]
+        for gi, g, keys in group_keys:
+            probs = np.mean([[m[k] for k in keys] for m in msgs], axis=0)
+            best = int(np.argmax(probs))
+            colour = colourise_float01(float(probs[best]))
+            cols.append(f"{bar_chart(probs, best)} "
+                        f"{colour}{g.classes[best]} "
+                        f"{probs[best]:.2f}{C_NORMAL}")
+        print(" ".join(cols))
     return 0
 
 

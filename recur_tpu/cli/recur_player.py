@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--frames", "-n", type=int, default=250)
     p.add_argument("--learn-rate", "-l", type=float, default=1e-5)
     p.add_argument("--net-filename", "-f", default="recur.net")
+    p.add_argument("--display", action="store_true",
+                   help="play the generated frames live in the terminal "
+                        "(24-bit half-block rendering — gtk-recur, headless)")
+    p.add_argument("--display-width", type=int, default=0)
     p.add_argument("--quiet", "-q", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -57,7 +61,18 @@ def main(argv=None) -> int:
                 print(f"epoch {epoch}: generation {ctx.generation}",
                       file=sys.stderr)
         ctx.save()
-    frames = (ctx.confabulate() for _ in range(opt.frames))
+    if opt.display:
+        from recur_tpu.utils.termview import TermViewer
+        out_frames = []
+        with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
+            for i in range(opt.frames):
+                frame = ctx.confabulate()
+                tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
+                                       f"gen {ctx.generation}")
+                out_frames.append(frame)
+        frames = iter(out_frames)
+    else:
+        frames = (ctx.confabulate() for _ in range(opt.frames))
     write_y4m(opt.out, frames, CONSTRUCT_W, CONSTRUCT_H, opt.fps)
     if opt.quiet < 1:
         print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)

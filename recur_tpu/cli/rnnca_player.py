@@ -33,6 +33,12 @@ def main(argv=None) -> int:
     p.add_argument("--learn-rate", "-l", type=float, default=1e-5)
     p.add_argument("--edges", action="store_true", help="clamp, not wrap")
     p.add_argument("--net-filename", "-f", default="rnnca.net")
+    p.add_argument("--display", action="store_true",
+                   help="play the generated CA live in the terminal "
+                        "(24-bit half-block rendering — the rnnca-player "
+                        "window, headless)")
+    p.add_argument("--display-width", type=int, default=0,
+                   help="downscale the live display to this many columns")
     p.add_argument("--quiet", "-q", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -51,7 +57,18 @@ def main(argv=None) -> int:
                 print(f"epoch {epoch}: generation {ca.generation}",
                       file=sys.stderr)
         ca.save()
-    frames = (ca.step_ca() for _ in range(opt.frames))
+    if opt.display:
+        from recur_tpu.utils.termview import TermViewer
+        out_frames = []
+        with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
+            for i in range(opt.frames):
+                frame = ca.step_ca()
+                tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
+                                       f"gen {ca.generation}")
+                out_frames.append(frame)
+        frames = iter(out_frames)
+    else:
+        frames = (ca.step_ca() for _ in range(opt.frames))
     write_y4m(opt.out, frames, RNNCA_WIDTH, RNNCA_HEIGHT, opt.fps)
     if opt.quiet < 1:
         print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)
