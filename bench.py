@@ -116,19 +116,25 @@ def main():
                      rng_seed=1, depth=30, learn_rate=1e-4)
     winit.randomise_weights(net)
     cfg = net.cfg
-    hyper = TrainHyper(condition=False)
 
     best = 0.0
+    best_cfg = None
     if jax.default_backend() != "cpu":
         # large stream counts and long scan chunks amortise per-op overhead;
         # bf16 history halves the HBM traffic of the backward walk (entropy
         # curves match f32).  Swept S x T: throughput peaks near S~3k and
-        # grows slowly with T (S=4096 regresses - HBM pressure).
-        configs = ((3072, 4096, jnp.bfloat16), (3584, 4096, jnp.bfloat16),
-                   (2048, 2048, jnp.bfloat16), (2048, 1024, jnp.float32))
+        # grows slowly with T (S=4096 regresses - HBM pressure).  Both BPTT
+        # gradient formulations are measured (buffered einsum vs two-pass
+        # accumulation; see ops/core.py).
+        configs = ((3072, 4096, jnp.bfloat16, "buffered"),
+                   (3072, 4096, jnp.bfloat16, "twopass"),
+                   (3584, 4096, jnp.bfloat16, "buffered"),
+                   (3584, 4096, jnp.bfloat16, "twopass"),
+                   (2048, 2048, jnp.bfloat16, "buffered"))
     else:
-        configs = ((64, 256, jnp.float32),)
-    for S, T, hdtype in configs:
+        configs = ((64, 256, jnp.float32, "buffered"),)
+    for S, T, hdtype, impl in configs:
+        hyper = TrainHyper(condition=False, bptt_impl=impl)
         params = jax.device_put(jax.tree.map(jnp.copy, net.params))
         bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
         state = nn.new_state(cfg, S, history_dtype=hdtype)
@@ -149,7 +155,11 @@ def main():
             float(tot.entropy)
             times.append(time.perf_counter() - t0)
         dt = sorted(times[2:])[len(times[2:]) // 2]
-        best = max(best, S * T / dt)
+        print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl}: "
+              f"{S * T / dt:,.0f} steps/s", file=sys.stderr)
+        if S * T / dt > best:
+            best = S * T / dt
+            best_cfg = (S, T, str(jnp.dtype(hdtype)), impl)
 
     # classify north star (BASELINE.json): windows/s vs the C window step
     classify_base = max(c_classify_baseline(), c_classify_baseline())
@@ -162,6 +172,7 @@ def main():
         "unit": "net-steps/s",
         "vs_baseline": round(best / base, 1),
         "extra": {
+            "best_config": best_cfg,
             "classify_windows_per_sec": round(classify, 0),
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),

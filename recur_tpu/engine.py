@@ -31,6 +31,7 @@ from recur_tpu.nn import (
 from recur_tpu.ops.core import (
     advance_history,
     calc_deltas,
+    calc_deltas_twopass,
     capped_log2,
     forward_step,
     softmax_best_guess_error,
@@ -66,6 +67,12 @@ class TrainHyper:
     # training is HBM-bound on it; bf16 halves that traffic.  f32 is exact
     # reference parity.
     history_dtype: str = "float32"
+    # BPTT gradient formulation: "buffered" (one walk + one big einsum over
+    # an [S, depth, h] error-trajectory buffer — reference layout) or
+    # "twopass" (replay the walk, accumulating per-step outer products —
+    # ~55% of the HBM traffic for ~1.5x the matvecs; same numerics to f32
+    # tolerance).  See ops/core.py calc_deltas{,_twopass}.
+    bptt_impl: str = "buffered"
 
 
 def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
@@ -95,8 +102,10 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     # pad o_error back to o_size
     o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
 
-    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
-                    bptt.min_error_factor, bptt.learn_rate)
+    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
+                 else calc_deltas)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
+                  bptt.min_error_factor, bptt.learn_rate)
 
     gen = bptt.generation + 1
     if hyper.batch_size > 1:
@@ -253,8 +262,10 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
     o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
 
-    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
-                    bptt.min_error_factor, bptt.learn_rate)
+    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
+                 else calc_deltas)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
+                  bptt.min_error_factor, bptt.learn_rate)
 
     gen = bptt.generation + 1
     if hyper.batch_size > 1:

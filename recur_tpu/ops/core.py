@@ -357,6 +357,134 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
                     stats=stats)
 
 
+def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
+                        bottom_inputs: Optional[jax.Array],
+                        o_error: jax.Array, min_error_factor: jax.Array,
+                        learn_rate: jax.Array) -> DeltaOut:
+    """calc_deltas with the [S, depth, h] error-trajectory buffer replaced
+    by a second backward walk.
+
+    The buffered form writes every step's applied error into eh_buf and
+    contracts it against the whole ring in one einsum — two full ring reads
+    plus an eh_buf write+read of HBM traffic per training step.  Here pass 1
+    only computes the walk outcomes (early-exit masks, last_err -> ih_scale),
+    and pass 2 replays the identical walk, accumulating the scaled
+    outer-product gradient [i, h] step by step.  ~55% of the HBM traffic for
+    ~1.5x the matvec FLOPs — a win when the backward is bandwidth-bound
+    (large S, bf16 ring).  Numerics: same values, different summation order
+    (per-step accumulation vs one einsum), so results agree to f32
+    tolerance, not bitwise.
+    """
+    S = o_error.shape[0]
+    hidden = state.hidden
+    depth = cfg.depth
+    hmask = _hidden_mask(cfg)
+
+    h_err0 = (o_error @ params.ho.T)
+    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
+    h_err0 = jnp.where(live, h_err0, 0.0)
+    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)
+    top_scaled, h_err0 = softclip_scale(
+        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
+    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
+                          preferred_element_type=jnp.float32)
+
+    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
+    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
+    min_error_gain = MIN_ERROR_GAIN * top_scaled
+    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+
+    def walk(step_extra, carry_extra0):
+        """The backward walk shared by both passes; step_extra(carry_extra,
+        inputs_t, y_eh) accumulates whatever the pass needs."""
+        def step(carry, t):
+            e_h, active, last_err, k_active, cum_err, cie, extra = carry
+            slot = (state.head - t) % depth
+            inputs_t = jax.lax.dynamic_slice_in_dim(
+                state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
+            e_h = e_h * hmask
+            m = _row_mask(cfg, inputs_t)
+            e_full = e_h @ params.ih.T
+            if cfg.activation == Activation.RESQRT:
+                e_full = e_full / (2.0 * (inputs_t + 1.0))
+            e_full = jnp.where(m, e_full, 0.0)
+            err_sum = jnp.sum(e_full * e_full, axis=1)
+            act_f = active.astype(jnp.float32)
+            y_eh = e_h * act_f[:, None]
+            extra = step_extra(extra, inputs_t, y_eh)
+            if cie is not None:
+                part = e_full[:, cfg.input_offset:
+                              cfg.input_offset + cfg.input_size]
+                cie = cie + part * act_f[:, None]
+            cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+            last_err = jnp.where(active, err_sum, last_err)
+            k_active = k_active + active.astype(jnp.int32)
+            trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
+            active = active & ~trip
+            return (e_full[:, :cfg.h_size], active, last_err, k_active,
+                    cum_err, cie, extra), None
+
+        cie0 = (jnp.zeros((S, cfg.input_size), jnp.float32)
+                if cfg.has_bottom else None)
+        carry0 = (h_err0, jnp.ones((S,), bool),
+                  jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+                  jnp.zeros((S,), jnp.float32), cie0, carry_extra0)
+        (e_fin, active_fin, last_err, k_active, cum_err, cie, extra), _ = \
+            jax.lax.scan(step, carry0, jnp.arange(depth))
+        return active_fin, last_err, k_active, cum_err, cie, extra
+
+    # pass 1: outcomes only
+    active_fin, last_err, k_active, cum_err, cie, _ = walk(
+        lambda extra, inputs_t, y_eh: extra, None)
+
+    clipped = last_err > error_sum_ceiling
+    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
+    broke = ~active_fin
+    t_final = jnp.where(broke, depth - k_active + 1, 0)
+    if cfg.adaptive_min_error:
+        depth_error = (depth // 4 - t_final).astype(jnp.float32)
+        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
+                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
+        grow = min_error_factor * (1.0 + depth_error * 1e-3)
+        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
+        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
+    else:
+        new_mef = min_error_factor
+    if cfg.has_bottom and cie is not None:
+        cie = cie * jnp.where(clipped, ih_scale * ih_scale, 1.0)[:, None]
+
+    # pass 2: replay, accumulating scale_s * inputs_t x y_eh into [i, h]
+    def accumulate(acc, inputs_t, y_eh):
+        if cfg.activation == Activation.RECLIP20:
+            inputs_t = jnp.where(_row_mask(cfg, inputs_t), inputs_t, 0.0)
+        return acc + jnp.einsum("si,sh->ih", inputs_t,
+                                y_eh * ih_scale[:, None],
+                                preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
+    *_, ih_delta = walk(accumulate, acc0)
+
+    bottom_delta = None
+    if cfg.has_bottom and bottom_inputs is not None and cie is not None:
+        bo_err = jnp.zeros((S, cfg.bottom_o_size), jnp.float32)
+        bo_err = bo_err.at[:, :cfg.input_size].set(cie)
+        bottom_delta = jnp.einsum("si,so->io", bottom_inputs, bo_err,
+                                  preferred_element_type=jnp.float32)
+
+    stats = {
+        "depth": (depth - t_final).astype(jnp.float32),
+        "ih_scale": ih_scale,
+        "top_error_raw": top_error_sum,
+        "top_error_scaled": top_scaled,
+        "error_sum": last_err,
+        "cum_error": cum_err,
+        "min_error_threshold": min_error_sum,
+    }
+    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+                    bottom_delta=bottom_delta, min_error_factor=new_mef,
+                    stats=stats)
+
+
 def forget_state(state: RnnState, bptt_too: bool = True) -> RnnState:
     """rnn_forget_history (recur-nn.c:8-16): zero the hidden state and,
     optionally, the whole BPTT history ring (the classify element's `forget`

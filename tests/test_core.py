@@ -228,3 +228,54 @@ def test_optimizers_run_and_update(method):
     assert not np.allclose(np.asarray(p2.ih), np.asarray(params.ih))
     assert np.isfinite(np.asarray(p2.ih)).all()
     assert np.isfinite(np.asarray(p2.ho)).all()
+
+
+def test_calc_deltas_twopass_equivalence():
+    """The two-pass BPTT gradient (no [S,D,h] trajectory buffer) must agree
+    with the buffered formulation to f32 tolerance, including streams that
+    trip the early-exit/emergency thresholds."""
+    import jax
+    import jax.numpy as jnp
+    from recur_tpu import nn as rnn
+    from recur_tpu.ops import init as winit
+    from recur_tpu.ops.core import (advance_history, calc_deltas,
+                                    calc_deltas_twopass, forward_step)
+
+    rng = np.random.default_rng(7)
+    for act in (rnn.Activation.RELU, rnn.Activation.RESQRT,
+                rnn.Activation.RECLIP20):
+        net = rnn.new_net(9, 17, 9, rng_seed=4, depth=6, learn_rate=1e-3,
+                          activation=act)
+        winit.randomise_weights(net)
+        cfg = net.cfg
+        S = 8
+        state = rnn.new_state(cfg, S)
+        # walk some steps so the ring is populated and heterogeneous
+        for t in range(10):
+            x = jnp.asarray(jax.nn.one_hot(rng.integers(0, 9, S), 9),
+                            jnp.float32)
+            fwd = forward_step(cfg, net.params, state.hidden, x)
+            state = advance_history(state, fwd.input_row)
+            state = rnn.RnnState(hidden=fwd.hidden, history=state.history,
+                                 head=state.head)
+        o_error = jnp.asarray(rng.standard_normal((S, cfg.o_size)),
+                              jnp.float32)
+        # a mix of tame and violent error scales exercises the thresholds
+        o_error = o_error * jnp.asarray(
+            [1e-4, 1e-2, 1.0, 10.0, 100.0, 1e3, 1e4, 1e-6])[:, None]
+        mef = jnp.full((S,), 0.01 * cfg.h_size, jnp.float32)
+        lr = jnp.float32(1e-3)
+        a = calc_deltas(cfg, net.params, state, None, o_error, mef, lr)
+        b = calc_deltas_twopass(cfg, net.params, state, None, o_error,
+                                mef, lr)
+        np.testing.assert_allclose(np.asarray(a.ih_delta),
+                                   np.asarray(b.ih_delta),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.ho_delta),
+                                   np.asarray(b.ho_delta), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.min_error_factor),
+                                   np.asarray(b.min_error_factor), rtol=1e-6)
+        for k in a.stats:
+            np.testing.assert_allclose(np.asarray(a.stats[k]),
+                                       np.asarray(b.stats[k]), rtol=1e-5,
+                                       err_msg=k)
