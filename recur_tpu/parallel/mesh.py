@@ -116,6 +116,74 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
 
 
 # ---------------------------------------------------------------------------
+# multihead head sharding (expert parallelism over output blocks)
+# ---------------------------------------------------------------------------
+
+def _mh_param_specs(cfg: RnnConfig) -> RnnParams:
+    """Multihead nets put the size in the OUTPUT dim (n_classes x alphabet
+    blocks — o=3650 for the caravel author-ID shape), so TP goes on the ho
+    columns: each device owns a contiguous slice of heads.  This is the
+    expert-parallel form of the reference's per-class output ranges
+    (charmodel-multi-predict.c:34-55)."""
+    return RnnParams(ih=P(None, "model"), ho=P(None, "model"),
+                     bottom=P(None, None) if cfg.has_bottom else None)
+
+
+def _mh_bptt_specs(cfg: RnnConfig) -> BpttState:
+    mat_ih = P(None, "model")
+    mat_ho = P(None, "model")
+    b = P(None, None) if cfg.has_bottom else None
+    aux = bool(cfg.flags & 2048)
+    return BpttState(
+        ih_momentum=mat_ih, ho_momentum=mat_ho,
+        ih_aux=mat_ih if aux else None, ho_aux=mat_ho if aux else None,
+        bottom_momentum=b, bottom_aux=b if aux else None,
+        learn_rate=P(), ho_scale=P(), momentum=P(), momentum_weight=P(),
+        min_error_factor=P("data"), ih_scale=P("data"), generation=P(),
+        ih_delta=mat_ih, ho_delta=mat_ho, bottom_delta=b)
+
+
+def sharded_multihead_chunk(mesh: Mesh, cfg: RnnConfig, hyper,
+                            alphabet_len: int):
+    """multihead_train_chunk jitted with streams over 'data' and the output
+    heads over 'model'.  Returns fn(params, bptt, state, tokens,
+    target_class, leakage, key, momentum_target, presynaptic_noise)."""
+    from recur_tpu.models.multihead import multihead_train_chunk
+
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         _mh_param_specs(cfg))
+    bspec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         _mh_bptt_specs(cfg))
+    sspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _state_specs(cfg))
+    data = NamedSharding(mesh, P("data"))
+    data2 = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    in_shardings = (pspec, bspec, sspec, data2, data, rep, rep, rep, rep)
+
+    def fn(params, bptt, state, tokens, target_class, leakage, key,
+           momentum_target, presynaptic_noise):
+        return multihead_train_chunk(cfg, hyper, alphabet_len, params, bptt,
+                                     state, tokens, target_class, leakage,
+                                     key, momentum_target,
+                                     presynaptic_noise)
+
+    out_shardings = (pspec, bspec, sspec, rep)
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def shard_multihead_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
+                         bptt: BpttState, state: RnnState):
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+    return (put(params, _mh_param_specs(cfg)),
+            put(bptt, _mh_bptt_specs(cfg)),
+            put(state, _state_specs(cfg)))
+
+
+# ---------------------------------------------------------------------------
 # explicit shard_map + psum data parallelism (SURVEY.md §2.9/§5.8)
 # ---------------------------------------------------------------------------
 

@@ -145,3 +145,31 @@ def test_trainer_full_length_unequal_files(tmp_path):
     # old behaviour = 2 batches x min-length -> (0.5s + 1.0s) x 2 channels
     truncated_windows = int((0.5 + 1.0) * RATE / half) * 2
     assert scanned > truncated_windows * 1.5, (scanned, truncated_windows)
+
+
+def test_activity_bias_stream_duplication(tmp_path):
+    """--activity-bias adds streams of only the timed-active files, biasing
+    the eternal shuffler toward them (classify-train:127-134)."""
+    clf = AudioClassifier(classes="Mx", n_channels=2, window_size=256,
+                          hidden_size=9, net_filename=str(tmp_path / "n.net"))
+    files = [LabelledFile(f"/nowhere/{c}-{i}.wav", c)
+             for i in range(10) for c in "Mx"]
+    # two files have >1 timed events ("active"); the rest have none
+    timings = {files[0].path: [(0, "M", 0.0, "c%dt0:M"),
+                               (0, "x", 3.0, "c%dt3:x")],
+               files[1].path: [(0, "x", 0.0, "c%dt0:x"),
+                               (0, "M", 2.0, "c%dt2:M")]}
+    active = {files[0].path, files[1].path}
+
+    base = Trainer(clf, files, [], seed=3, verbose=False)
+    draws = [next(base.trainers).path for _ in range(600)]
+    frac_plain = sum(d in active for d in draws) / len(draws)
+
+    biased = Trainer(clf, files, [], seed=3, verbose=False,
+                     timings=timings, activity_bias=2)
+    draws = [next(biased.trainers).path for _ in range(600)]
+    frac_biased = sum(d in active for d in draws) / len(draws)
+
+    assert abs(frac_plain - 0.1) < 0.06, frac_plain
+    # 3 streams, 2 of them all-active: expectation ~ (0.1 + 1 + 1) / 3 = 0.7
+    assert frac_biased > 0.5, frac_biased

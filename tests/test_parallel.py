@@ -144,3 +144,52 @@ def test_gspmd_data_model_mesh_runs():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
                                rtol=1e-5)
+
+
+def test_multihead_head_sharding():
+    """Expert-parallel multihead: heads (output blocks) shard over 'model',
+    streams over 'data'; must match the single-device chunk and really
+    partition the ho matrix."""
+    from recur_tpu.models.multihead import multihead_train_chunk
+    from recur_tpu.parallel.mesh import (shard_multihead_args,
+                                         sharded_multihead_chunk)
+
+    alphabet_len = 8
+    n_classes = 4
+    S, T = 8, 12
+    net = nn.new_net(alphabet_len, 15, alphabet_len * n_classes, rng_seed=2,
+                     depth=3, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False)
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, alphabet_len, (S, T + 1)))
+    target_class = jnp.asarray(rng.integers(0, n_classes, S))
+    args = (jnp.float32(0.0), jax.random.PRNGKey(1), jnp.float32(0.9),
+            jnp.float32(0.0))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params, bptt, state = shard_multihead_args(
+        mesh, cfg, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+    # the ho matrix is genuinely split over heads
+    assert params.ho.addressable_shards[0].data.shape == \
+        (cfg.h_size, cfg.o_size // 2)
+    fn = sharded_multihead_chunk(mesh, cfg, hyper, alphabet_len)
+    tok_s = jax.device_put(tokens, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", None)))
+    tc_s = jax.device_put(target_class, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    p, b, s, stats = fn(params, bptt, state, tok_s, tc_s, *args)
+
+    p1, b1, s1, stats1 = multihead_train_chunk(
+        cfg, hyper, alphabet_len, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S),
+        tokens, target_class, *args)
+    np.testing.assert_allclose(np.asarray(p.ho), np.asarray(p1.ho),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p.ih), np.asarray(p1.ih),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(stats.entropy), float(stats1.entropy),
+                               rtol=1e-4)
