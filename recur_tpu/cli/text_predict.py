@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bottom-layer", type=int, default=0)
     a("--top-learn-rate-scale", type=float, default=1.0)
     a("--bottom-learn-rate-scale", type=float, default=1.0)
+    a("--bptt-impl", default="buffered", choices=["buffered", "twopass"],
+      help="BPTT gradient formulation (twopass trades matvecs for HBM "
+           "traffic; see ops/core.py)")
     a("--history-dtype", default="float32",
       choices=["float32", "bfloat16"],
       help="BPTT history ring dtype; bfloat16 halves its HBM traffic")
@@ -216,6 +219,7 @@ def main(argv=None) -> int:
                       periodic_weight_noise=opt.periodic_weight_noise,
                       log=log, seed=opt.rng_seed,
                       history_dtype=jnp.dtype(opt.history_dtype),
+                      bptt_impl=opt.bptt_impl,
                       periodic_pgm_dump=opt.periodic_pgm_dump,
                       temporal_pgm_dump=opt.temporal_pgm_dump,
                       basename=opt.basename)

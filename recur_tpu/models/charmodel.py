@@ -123,7 +123,7 @@ class CharModel:
                  filename: Optional[str] = None,
                  periodic_weight_noise: float = 0.0,
                  log: Optional[KvLog] = None, seed: int = 0,
-                 history_dtype=jnp.float32,
+                 history_dtype=jnp.float32, bptt_impl: str = "buffered",
                  periodic_pgm_dump: str = "",
                  temporal_pgm_dump: bool = False, basename: str = "net"):
         self.net = net
@@ -135,7 +135,8 @@ class CharModel:
             momentum_soft_start=momentum_soft_start,
             batch_size=batch_size,
             use_noise=net.cfg.presynaptic_noise > 0.0,
-            condition=False)  # char multi-tap path skips conditioning
+            condition=False,  # char multi-tap path skips conditioning
+            bptt_impl=bptt_impl)
         self.report_interval = report_interval
         self.save_net = save_net
         self.filename = filename
