@@ -104,7 +104,9 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
     winner = jnp.argmax(p, axis=1)
     p_t = jnp.take_along_axis(p, y_safe[:, None], axis=1)[:, 0]
 
-    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
+                 else calc_deltas)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
                                   d.bottom_delta, hyper.learning_style,

@@ -75,7 +75,9 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
         jnp.take_along_axis(p, target_class[:, None, None], axis=1)[:, 0, :],
         y_tok[:, None], axis=1)[:, 0]
 
-    d = calc_deltas(cfg, params, state, fwd.bottom_inputs, o_error,
+    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
+                 else calc_deltas)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
 
     gen = bptt.generation + 1
