@@ -128,8 +128,10 @@ def main():
         # accumulation; see ops/core.py).
         configs = ((3072, 4096, jnp.bfloat16, "buffered"),
                    (3072, 4096, jnp.bfloat16, "twopass"),
+                   (3072, 4096, jnp.bfloat16, "factored"),
                    (3584, 4096, jnp.bfloat16, "buffered"),
-                   (3584, 4096, jnp.bfloat16, "twopass"),
+                   (3584, 4096, jnp.bfloat16, "factored"),
+                   (4096, 4096, jnp.bfloat16, "factored"),
                    (2048, 2048, jnp.bfloat16, "buffered"))
     else:
         configs = ((64, 256, jnp.float32, "buffered"),)
@@ -137,7 +139,8 @@ def main():
         hyper = TrainHyper(condition=False, bptt_impl=impl)
         params = jax.device_put(jax.tree.map(jnp.copy, net.params))
         bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
-        state = nn.new_state(cfg, S, history_dtype=hdtype)
+        state = nn.new_state(cfg, S, history_dtype=hdtype,
+                             factored=(impl == "factored"))
         rng = np.random.default_rng(0)
         tokens = jnp.asarray(rng.integers(0, 42, size=(S, T + 1)))
         key = jax.random.PRNGKey(0)

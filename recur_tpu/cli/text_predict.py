@@ -88,9 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bottom-layer", type=int, default=0)
     a("--top-learn-rate-scale", type=float, default=1.0)
     a("--bottom-learn-rate-scale", type=float, default=1.0)
-    a("--bptt-impl", default="buffered", choices=["buffered", "twopass"],
-      help="BPTT gradient formulation (twopass trades matvecs for HBM "
-           "traffic; see ops/core.py)")
+    a("--bptt-impl", default="buffered",
+      choices=["buffered", "twopass", "factored"],
+      help="BPTT gradient formulation: buffered einsum, twopass (trades "
+           "matvecs for HBM traffic), or factored (twopass + one-hot-"
+           "factored history ring; see ops/core.py)")
     a("--history-dtype", default="float32",
       choices=["float32", "bfloat16"],
       help="BPTT history ring dtype; bfloat16 halves its HBM traffic")

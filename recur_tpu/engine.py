@@ -30,7 +30,9 @@ from recur_tpu.nn import (
 )
 from recur_tpu.ops.core import (
     advance_history,
+    advance_history_factored,
     calc_deltas,
+    calc_deltas_factored,
     calc_deltas_twopass,
     capped_log2,
     forward_step,
@@ -93,19 +95,25 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     fwd = forward_step(cfg, params, state.hidden, x,
                        noise_key=nk if hyper.use_noise else None,
                        presynaptic_noise=presynaptic_noise)
-    state = advance_history(state, fwd.input_row)
-    state = RnnState(hidden=fwd.hidden, history=state.history,
-                     head=state.head)
+    if hyper.bptt_impl == "factored":
+        state = advance_history_factored(state, fwd.input_row, x_tok)
+    else:
+        state = advance_history(state, fwd.input_row)
+    state = dataclasses.replace(state, hidden=fwd.hidden)
 
     o_error, winner, p_target = softmax_best_guess_error(
         fwd.output[:, :cfg.output_size], y_tok)
     # pad o_error back to o_size
     o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
 
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
-    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
-                  bptt.min_error_factor, bptt.learn_rate)
+    if hyper.bptt_impl == "factored":
+        d = calc_deltas_factored(cfg, params, state, o_error,
+                                 bptt.min_error_factor, bptt.learn_rate)
+    else:
+        deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
+                     else calc_deltas)
+        d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
+                      bptt.min_error_factor, bptt.learn_rate)
 
     gen = bptt.generation + 1
     if hyper.batch_size > 1:

@@ -170,7 +170,8 @@ class CharModel:
                 min_error_factor=jnp.full((n_streams,), net.min_error_factor,
                                           jnp.float32))
         self.state = nn.new_state(net.cfg, n_streams,
-                                  history_dtype=history_dtype)
+                                  history_dtype=history_dtype,
+                                  factored=(bptt_impl == "factored"))
         self.key = jax.random.PRNGKey(seed)
         # confab state
         self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)

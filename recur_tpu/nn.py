@@ -223,6 +223,11 @@ class RnnState:
     hidden: jax.Array       # [S, h_size] post-activation, [.,0]==1
     history: jax.Array      # [S, depth, i_size]
     head: jax.Array         # i32 scalar: ring index of most recent entry
+    # one-hot-factored ring (bptt_impl="factored", char models only): the
+    # ring keeps just the [bias, hidden] section ([S, depth, input_offset])
+    # in `history` and the token ids here — the one-hot value equals the
+    # stored bias (the input soft-clip scale), so nothing else is needed.
+    tokens: Optional[jax.Array] = None   # [S, depth] i32
 
 
 def new_params(cfg: RnnConfig, dtype=jnp.float32) -> RnnParams:
@@ -262,15 +267,20 @@ def new_bptt_state(cfg: RnnConfig, n_streams: int, learn_rate: float = 1e-3,
 
 
 def new_state(cfg: RnnConfig, n_streams: int,
-              history_dtype=jnp.float32) -> RnnState:
+              history_dtype=jnp.float32, factored: bool = False) -> RnnState:
     """history_dtype=bfloat16 halves the HBM traffic of the BPTT backward
     walk (which re-reads the ring every step) at a small numeric cost;
-    float32 is exact reference parity."""
+    float32 is exact reference parity.  factored=True stores only the
+    [bias, hidden] ring section plus token ids (one-hot char inputs; pair
+    with TrainHyper(bptt_impl="factored"))."""
+    width = cfg.input_offset if factored else cfg.i_size
     return RnnState(
         hidden=jnp.zeros((n_streams, cfg.h_size), jnp.float32),
-        history=jnp.zeros((n_streams, cfg.depth, cfg.i_size),
+        history=jnp.zeros((n_streams, cfg.depth, width),
                           jnp.dtype(history_dtype)),
         head=jnp.int32(0),
+        tokens=(jnp.zeros((n_streams, cfg.depth), jnp.int32)
+                if factored else None),
     )
 
 

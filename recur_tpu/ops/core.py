@@ -357,6 +357,155 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
                     stats=stats)
 
 
+def advance_history_factored(state: RnnState, input_row: jax.Array,
+                             token: jax.Array) -> RnnState:
+    """rnn_bptt_advance for the one-hot-factored ring: store only the
+    [bias, hidden] section of the input row plus the token id.  The one-hot
+    entry's value is the input soft-clip scale, which equals the stored
+    bias, so the full row is exactly reconstructible."""
+    depth = state.history.shape[1]
+    width = state.history.shape[2]
+    head = (state.head + 1) % depth
+    history = jax.lax.dynamic_update_slice_in_dim(
+        state.history,
+        input_row[:, None, :width].astype(state.history.dtype), head, axis=1)
+    tokens = jax.lax.dynamic_update_slice_in_dim(
+        state.tokens, token[:, None].astype(jnp.int32), head, axis=1)
+    return RnnState(hidden=state.hidden, history=history, head=head,
+                    tokens=tokens)
+
+
+def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
+                         o_error: jax.Array, min_error_factor: jax.Array,
+                         learn_rate: jax.Array) -> DeltaOut:
+    """Two-pass BPTT over the one-hot-factored ring (char models: the input
+    section of every history row is one-hot).
+
+    The ring holds only [S, depth, input_offset] ([bias, hidden] — the
+    one-hot's value equals the stored bias) plus token ids, so the backward
+    walk's matvec shrinks from h x i_size to h x input_offset, the token
+    column's error is a row gather instead of a matmul, and the gradient's
+    input-section rows become a scatter-add — ~17% less ring traffic and
+    walk FLOPs on top of the two-pass buffer elimination.  Same math as
+    calc_deltas to f32 tolerance.  No bottom layer (a bottom layer makes
+    the RNN inputs dense).
+    """
+    assert not cfg.has_bottom, "factored BPTT needs one-hot RNN inputs"
+    assert state.tokens is not None, "state was not created factored=True"
+    S = o_error.shape[0]
+    hidden = state.hidden
+    depth = cfg.depth
+    W = state.history.shape[2]                 # input_offset
+    hmask = _hidden_mask(cfg)
+
+    h_err0 = (o_error @ params.ho.T)
+    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
+    h_err0 = jnp.where(live, h_err0, 0.0)
+    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)
+    top_scaled, h_err0 = softclip_scale(
+        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
+    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
+                          preferred_element_type=jnp.float32)
+
+    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
+    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
+    min_error_gain = MIN_ERROR_GAIN * top_scaled
+    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+
+    ih_head = params.ih[:W]                    # [W, h] bias+hidden rows
+    ih_tail = params.ih[cfg.input_offset:
+                        cfg.input_offset + cfg.input_size]  # [vocab, h]
+
+    def walk(step_extra, carry_extra0):
+        def step(carry, t):
+            e_h, active, last_err, k_active, cum_err, extra = carry
+            slot = (state.head - t) % depth
+            hid_t = jax.lax.dynamic_slice_in_dim(
+                state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
+            tok_t = jax.lax.dynamic_slice_in_dim(
+                state.tokens, slot, 1, axis=1)[:, 0]         # [S]
+            scale_t = hid_t[:, 0]            # one-hot value == stored bias
+            e_h = e_h * hmask
+            # error on the [bias, hidden] section
+            e_hid = e_h @ ih_head.T                          # [S, W]
+            # error on the single live one-hot column: a row gather
+            e_tok = jnp.einsum("sh,sh->s", e_h,
+                               jnp.take(ih_tail, tok_t, axis=0))
+            if cfg.activation == Activation.RESQRT:
+                e_hid = e_hid / (2.0 * (hid_t + 1.0))
+                e_tok = e_tok / (2.0 * (scale_t + 1.0))
+            m = _row_mask(cfg, hid_t)
+            e_hid = jnp.where(m, e_hid, 0.0)
+            tok_live = scale_t != 0.0
+            if cfg.activation == Activation.RECLIP20:
+                tok_live = tok_live & (scale_t < 20.0)
+            e_tok = jnp.where(tok_live, e_tok, 0.0)
+            err_sum = (jnp.sum(e_hid * e_hid, axis=1) + e_tok * e_tok)
+            act_f = active.astype(jnp.float32)
+            y_eh = e_h * act_f[:, None]
+            extra = step_extra(extra, hid_t, tok_t, scale_t, y_eh)
+            cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+            last_err = jnp.where(active, err_sum, last_err)
+            k_active = k_active + active.astype(jnp.int32)
+            trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
+            active = active & ~trip
+            e_next = jnp.zeros((S, cfg.h_size), jnp.float32)
+            e_next = e_next.at[:, :W].set(e_hid)
+            return (e_next, active, last_err, k_active, cum_err, extra), None
+
+        carry0 = (h_err0, jnp.ones((S,), bool),
+                  jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+                  jnp.zeros((S,), jnp.float32), carry_extra0)
+        (e_fin, active_fin, last_err, k_active, cum_err, extra), _ = \
+            jax.lax.scan(step, carry0, jnp.arange(depth))
+        return active_fin, last_err, k_active, cum_err, extra
+
+    active_fin, last_err, k_active, cum_err, _ = walk(
+        lambda extra, *a: extra, None)
+
+    clipped = last_err > error_sum_ceiling
+    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
+    broke = ~active_fin
+    t_final = jnp.where(broke, depth - k_active + 1, 0)
+    if cfg.adaptive_min_error:
+        depth_error = (depth // 4 - t_final).astype(jnp.float32)
+        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
+                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
+        grow = min_error_factor * (1.0 + depth_error * 1e-3)
+        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
+        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
+    else:
+        new_mef = min_error_factor
+
+    def accumulate(acc, hid_t, tok_t, scale_t, y_eh):
+        if cfg.activation == Activation.RECLIP20:
+            hid_t = jnp.where(_row_mask(cfg, hid_t), hid_t, 0.0)
+            scale_t = jnp.where(scale_t < 20.0, scale_t, 0.0)
+        y = y_eh * ih_scale[:, None]
+        acc = acc.at[:W].add(jnp.einsum(
+            "si,sh->ih", hid_t, y, preferred_element_type=jnp.float32))
+        # the one-hot rows: scatter-add of scale_s * y_eh into row token_s
+        acc = acc.at[cfg.input_offset + tok_t].add(
+            y * scale_t[:, None])
+        return acc
+
+    acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
+    *_, ih_delta = walk(accumulate, acc0)
+
+    stats = {
+        "depth": (depth - t_final).astype(jnp.float32),
+        "ih_scale": ih_scale,
+        "top_error_raw": top_error_sum,
+        "top_error_scaled": top_scaled,
+        "error_sum": last_err,
+        "cum_error": cum_err,
+        "min_error_threshold": min_error_sum,
+    }
+    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+                    bottom_delta=None, min_error_factor=new_mef,
+                    stats=stats)
+
+
 def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                         bottom_inputs: Optional[jax.Array],
                         o_error: jax.Array, min_error_factor: jax.Array,
@@ -490,5 +639,7 @@ def forget_state(state: RnnState, bptt_too: bool = True) -> RnnState:
     optionally, the whole BPTT history ring (the classify element's `forget`
     property)."""
     history = jnp.zeros_like(state.history) if bptt_too else state.history
+    tokens = (jnp.zeros_like(state.tokens)
+              if bptt_too and state.tokens is not None else state.tokens)
     return RnnState(hidden=jnp.zeros_like(state.hidden), history=history,
-                    head=state.head)
+                    head=state.head, tokens=tokens)

@@ -279,3 +279,54 @@ def test_calc_deltas_twopass_equivalence():
             np.testing.assert_allclose(np.asarray(a.stats[k]),
                                        np.asarray(b.stats[k]), rtol=1e-5,
                                        err_msg=k)
+
+
+def test_factored_ring_equivalence():
+    """The one-hot-factored ring (tokens + [bias,hidden] section) must train
+    identically to the dense ring across activations, including steps where
+    the emergency input soft-clip scales the row (the scale is recovered
+    from the stored bias)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from recur_tpu import nn as rnn, engine
+    from recur_tpu.engine import TrainHyper
+    from recur_tpu.ops import init as winit
+
+    rng = np.random.default_rng(3)
+    for act in (rnn.Activation.RELU, rnn.Activation.RESQRT,
+                rnn.Activation.RECLIP20):
+        net = rnn.new_net(11, 19, 11, rng_seed=6, depth=5, learn_rate=1e-3,
+                          activation=act)
+        winit.randomise_weights(net)
+        cfg = net.cfg
+        S, T = 6, 24
+        tokens = jnp.asarray(rng.integers(0, 11, (S, T + 1)))
+        # huge initial hidden state triggers the input soft-clip on step 1
+        hid0 = jnp.zeros((S, cfg.h_size), jnp.float32
+                         ).at[:2, 1:cfg.hidden_size + 1].set(300.0)
+        args = (jax.random.PRNGKey(2), jnp.float32(0.9), jnp.float32(0.0))
+
+        def run(impl, factored):
+            hyper = TrainHyper(condition=False, bptt_impl=impl)
+            state = dataclasses.replace(
+                rnn.new_state(cfg, S, factored=factored),
+                hidden=jnp.array(hid0))   # fresh copy: the chunk donates it
+            return engine.char_train_chunk(
+                cfg, hyper, jax.tree.map(jnp.copy, net.params),
+                rnn.new_bptt_state(cfg, S, 1e-3, 0.9), state, tokens, *args)
+
+        pa, ba, sa, ta = run("buffered", False)
+        pb, bb, sb, tb = run("factored", True)
+        np.testing.assert_allclose(np.asarray(pa.ih), np.asarray(pb.ih),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(act))
+        np.testing.assert_allclose(np.asarray(pa.ho), np.asarray(pb.ho),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sa.hidden),
+                                   np.asarray(sb.hidden),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(float(ta.entropy), float(tb.entropy),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ba.min_error_factor),
+                                   np.asarray(bb.min_error_factor),
+                                   rtol=1e-5)
