@@ -26,16 +26,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def last_generation(log_path: str) -> int:
-    gen = 0
+def last_generation(net_path: str) -> int:
+    """Read net.generation straight out of the CDB checkpoint — the
+    authoritative resume point (each leg truncates its own log file, so the
+    log is not reliable across legs)."""
+    import struct
+    from recur_tpu.utils.cdb import Reader
     try:
-        with open(log_path) as f:
-            for line in f:
-                if line.startswith("generation "):
-                    gen = int(float(line.split()[1]))
+        v = Reader.open(net_path).get("net.generation")
     except OSError:
-        pass
-    return gen
+        return 0
+    return struct.unpack("<I", v)[0] if v else 0
 
 
 def main(argv=None) -> int:
@@ -52,7 +53,7 @@ def main(argv=None) -> int:
     opt = p.parse_args(argv)
 
     os.makedirs(opt.workdir, exist_ok=True)
-    log_path = os.path.join(opt.workdir, "endurance.log")
+    sys.path.insert(0, REPO)
     record_path = os.path.join(opt.workdir, "endurance.json")
     net_path = os.path.join(opt.workdir, "endurance.net")
     legs = []
@@ -60,7 +61,7 @@ def main(argv=None) -> int:
     t_start = time.time()
 
     while True:
-        gen = last_generation(log_path)
+        gen = last_generation(net_path)
         if gen >= opt.target:
             break
         if retries > opt.max_retries:
@@ -74,14 +75,15 @@ def main(argv=None) -> int:
                "--learn-rate", str(opt.learn_rate),
                "--history-dtype", "bfloat16",
                "--validate-chars", "10000",
-               "--log-file", log_path,
+               "--log-file", os.path.join(
+                   opt.workdir, f"endurance-leg{len(legs)}.log"),
                "--basename", os.path.join(opt.workdir, "endurance"),
                "--stop-after", str(stop), "--quiet"]
         t0 = time.time()
         print(f"endurance leg {len(legs)}: gen {gen} -> {stop}", flush=True)
         r = subprocess.run(cmd, cwd=REPO)
         dt = time.time() - t0
-        new_gen = last_generation(log_path)
+        new_gen = last_generation(net_path)
         legs.append({"leg": len(legs), "rc": r.returncode,
                      "start_gen": gen, "end_gen": new_gen,
                      "seconds": round(dt, 1)})
@@ -100,7 +102,7 @@ def main(argv=None) -> int:
         else:
             retries = 0
 
-    print(json.dumps({"done": True, "generations": last_generation(log_path),
+    print(json.dumps({"done": True, "generations": last_generation(net_path),
                       "legs": len(legs),
                       "elapsed": round(time.time() - t_start, 1)}))
     return 0
