@@ -76,17 +76,26 @@ def estimate_feature_normalisation(classifier: AudioClassifier,
 
     feats = []
     half = classifier.window_size // 2
-    for f in files:
-        data, _ = read_wav(f.path, target_rate=classifier.rate)
-        n = (len(data) - half) // half * half
-        if n <= 0:
-            continue
-        frames = np.lib.stride_tricks.sliding_window_view(
-            data[:n + half], classifier.window_size)[::half]
-        frames = frames[:max_windows_per_file]
-        tiled = np.repeat(frames[:, None, :], classifier.n_channels, axis=1)
-        x = classifier._features_for_frames(jnp.asarray(tiled, jnp.float32))
-        feats.append(np.asarray(x)[:, 0, :])
+    # probe one channel wide: _features_for_frames keeps Δ-feature state
+    # shaped [order, n_channels, raw], so borrow a 1-wide buffer for the
+    # probe instead of tiling every frame across all channels
+    saved_prev = classifier._prev_features
+    classifier._prev_features = np.zeros(
+        (saved_prev.shape[0], 1, saved_prev.shape[2]), np.float32)
+    try:
+        for f in files:
+            data, _ = read_wav(f.path, target_rate=classifier.rate)
+            n = (len(data) - half) // half * half
+            if n <= 0:
+                continue
+            frames = np.lib.stride_tricks.sliding_window_view(
+                data[:n + half], classifier.window_size)[::half]
+            frames = frames[:max_windows_per_file]
+            x = classifier._features_for_frames(
+                jnp.asarray(frames[:, None, :], jnp.float32))
+            feats.append(np.asarray(x)[:, 0, :])
+    finally:
+        classifier._prev_features = saved_prev
     all_feats = np.concatenate(feats)
     mu = all_feats.mean(axis=0)
     sd = all_feats.std(axis=0) + 1e-6
@@ -131,6 +140,7 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
     C = len(plans)
     queues = [list(p) for p in plans]
     bufs = [np.zeros(0, np.float32) for _ in range(C)]
+    cursors = [0] * C                     # read position within bufs[j]
     offsets = [0 for _ in range(C)]       # samples consumed per channel
     ended = [False] * C
     while True:
@@ -140,7 +150,7 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
         for j in range(C):
             filled = 0
             while filled < block_samples:
-                if len(bufs[j]) == 0:
+                if cursors[j] >= len(bufs[j]):
                     if not queues[j]:
                         if not ended[j]:
                             # stop-training marker at the channel's stream end
@@ -151,6 +161,7 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
                     f = queues[j].pop(0)
                     data, _ = read_wav(f.path, target_rate=rate)
                     bufs[j] = np.asarray(data, np.float32)
+                    cursors[j] = 0
                     t0 = offsets[j] / rate
                     ev = (timings.get(f.path)
                           or timings.get(os.path.basename(f.path)))
@@ -160,10 +171,11 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
                             phrases.append(f"c{j}t{secs + t0}:{targets}")
                     else:
                         phrases.append(f"c{j}t{t0}:{f.targets}")
-                n = min(block_samples - filled, len(bufs[j]))
+                c = cursors[j]
+                n = min(block_samples - filled, len(bufs[j]) - c)
                 if n:
-                    block[j, filled:filled + n] = bufs[j][:n]
-                    bufs[j] = bufs[j][n:]
+                    block[j, filled:filled + n] = bufs[j][c:c + n]
+                    cursors[j] = c + n
                     filled += n
                     offsets[j] += n
                     any_audio = True
@@ -390,6 +402,7 @@ class Trainer:
             out = [f"{self.c.net_basename}:{gi} " if len(groups) > 1
                    else f"{self.c.net_basename} "]
             aucs, dfds, accuracies = [], [], []
+            auc_pairs = []      # (class, auc) — aucs alone can be sparse
             rightness = gap_p = ratio_p = 0.0
             count_p = 0
             dprime = 0.0
@@ -415,6 +428,7 @@ class Trainer:
                     truth = np.array([c for _, c in lst])
                     core = cstats.calc_core_stats(scores, truth)
                     cres.update(core)
+                    auc_pairs.append((x, core["auc"]))
                     aucs.append(core["auc"])
                     dfds.append(core["dfd"])
                     accuracies.append(core["accuracy"])
@@ -476,8 +490,7 @@ class Trainer:
             all_aucs.extend(aucs)
             all_accs.extend(accuracies)
             # record-beating auto-save with decaying thresholds
-            metrics = {f"g{gi}-auc-{x}": a
-                       for x, a in zip(g.classes, aucs)}
+            metrics = {f"g{gi}-auc-{x}": a for x, a in auc_pairs}
             metrics.update({
                 f"g{gi}-rightness": rightness, f"g{gi}-ratio": ratio_p,
                 f"g{gi}-gap": gap_p, f"g{gi}-ratio-gap": ratio_p * gap_p,

@@ -74,6 +74,9 @@ def main(argv=None) -> int:
     opt = build_parser().parse_args(argv)
     kwargs = classifier_kwargs_from_args(opt)
     kwargs["force_load"] = opt.reload
+    # classify-train logs by default (the reference defaults --log-file to
+    # 'auto'); pass --log-file '' to disable
+    kwargs.setdefault("log_file", "classify.log")
     clf = AudioClassifier(**kwargs)
     timings = None
     if opt.timings:

@@ -63,14 +63,15 @@ def main(argv=None) -> int:
         ctx.save()
     if opt.display:
         from recur_tpu.utils.termview import TermViewer
-        out_frames = []
-        with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
-            for i in range(opt.frames):
-                frame = ctx.confabulate()
-                tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
-                                       f"gen {ctx.generation}")
-                out_frames.append(frame)
-        frames = iter(out_frames)
+
+        def frames():
+            with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
+                for i in range(opt.frames):
+                    frame = ctx.confabulate()
+                    tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
+                                           f"gen {ctx.generation}")
+                    yield frame
+        frames = frames()
     else:
         frames = (ctx.confabulate() for _ in range(opt.frames))
     write_y4m(opt.out, frames, CONSTRUCT_W, CONSTRUCT_H, opt.fps)

@@ -59,14 +59,15 @@ def main(argv=None) -> int:
         ca.save()
     if opt.display:
         from recur_tpu.utils.termview import TermViewer
-        out_frames = []
-        with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
-            for i in range(opt.frames):
-                frame = ca.step_ca()
-                tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
-                                       f"gen {ca.generation}")
-                out_frames.append(frame)
-        frames = iter(out_frames)
+
+        def frames():
+            with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
+                for i in range(opt.frames):
+                    frame = ca.step_ca()
+                    tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
+                                           f"gen {ca.generation}")
+                    yield frame
+        frames = frames()
     else:
         frames = (ca.step_ca() for _ in range(opt.frames))
     write_y4m(opt.out, frames, RNNCA_WIDTH, RNNCA_HEIGHT, opt.fps)

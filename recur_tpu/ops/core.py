@@ -223,6 +223,75 @@ def _row_mask(cfg: RnnConfig, inputs):
     return m
 
 
+class _BpttSetup(NamedTuple):
+    """Shared top-layer backprop + thresholds for the calc_deltas family."""
+    h_err0: jax.Array            # [S, h_size] soft-clipped top error
+    top_error_sum: jax.Array     # [S]
+    top_scaled: jax.Array        # [S]
+    ho_delta: jax.Array          # [h_size, o_size]
+    max_error_sum: jax.Array     # [S]
+    error_sum_ceiling: jax.Array  # [S]
+    min_error_gain: jax.Array    # [S]
+    min_error_sum: jax.Array     # [S]
+
+
+def _bptt_setup(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
+                o_error: jax.Array, min_error_factor: jax.Array,
+                learn_rate: jax.Array) -> _BpttSetup:
+    """Top layer (backprop_top_layer + softclip, recur-nn.c:713-729) and the
+    per-stream BPTT thresholds (recur-nn.c:317-323)."""
+    h_err0 = (o_error @ params.ho.T)           # [S, h_size]
+    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
+    h_err0 = jnp.where(live, h_err0, 0.0)
+    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)          # [S]
+    top_scaled, h_err0 = softclip_scale(
+        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
+    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
+                          preferred_element_type=jnp.float32)
+    min_error_gain = MIN_ERROR_GAIN * top_scaled
+    return _BpttSetup(
+        h_err0=h_err0, top_error_sum=top_error_sum, top_scaled=top_scaled,
+        ho_delta=ho_delta,
+        max_error_sum=MAX_ERROR_GAIN * top_scaled + 1.0,
+        error_sum_ceiling=ERROR_GAIN_CEILING * top_scaled,
+        min_error_gain=min_error_gain,
+        min_error_sum=jnp.minimum(min_error_factor / learn_rate,
+                                  min_error_gain))
+
+
+def _bptt_epilogue(cfg: RnnConfig, su: _BpttSetup, min_error_factor,
+                   last_err, active_fin, k_active, depth):
+    """Emergency scaling & adaptive min error (recur-nn.c:393-413).
+    Returns (clipped, ih_scale, t_final, new_min_error_factor)."""
+    clipped = last_err > su.error_sum_ceiling
+    ih_scale = jnp.where(clipped, soft_clip(last_err, su.max_error_sum), 1.0)
+    t_final = jnp.where(~active_fin, depth - k_active + 1, 0)
+    if cfg.adaptive_min_error:
+        depth_error = (depth // 4 - t_final).astype(jnp.float32)
+        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
+                & ((su.min_error_gain != su.min_error_sum)
+                   | (depth_error < 0)))
+        grow = min_error_factor * (1.0 + depth_error * 1e-3)
+        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
+        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
+    else:
+        new_mef = min_error_factor
+    return clipped, ih_scale, t_final, new_mef
+
+
+def _bptt_stats(su: _BpttSetup, depth, t_final, ih_scale, last_err,
+                cum_err) -> dict:
+    return {
+        "depth": (depth - t_final).astype(jnp.float32),
+        "ih_scale": ih_scale,
+        "top_error_raw": su.top_error_sum,
+        "top_error_scaled": su.top_scaled,
+        "error_sum": last_err,
+        "cum_error": cum_err,
+        "min_error_threshold": su.min_error_sum,
+    }
+
+
 def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
                 bottom_inputs: Optional[jax.Array],
                 o_error: jax.Array, min_error_factor: jax.Array,
@@ -239,25 +308,10 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
     hidden = state.hidden                      # [S, h_size] current
     depth = cfg.depth
     hmask = _hidden_mask(cfg)
-
-    # ---- top layer (backprop_top_layer + softclip, recur-nn.c:713-729) ----
-    # error on hidden units: rows y>=1 with hidden[y] != 0
-    h_err0 = (o_error @ params.ho.T)           # [S, h_size]
-    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
-    h_err0 = jnp.where(live, h_err0, 0.0)
-    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)          # [S]
-    top_scaled, h_err0 = softclip_scale(
-        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
-
-    # ho_delta: sum over streams of outer(hidden, o_error)
-    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
-                          preferred_element_type=jnp.float32)
-
-    # ---- BPTT thresholds (recur-nn.c:317-323), per stream ----
-    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
-    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
-    min_error_gain = MIN_ERROR_GAIN * top_scaled
-    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+    su = _bptt_setup(cfg, params, hidden, o_error, min_error_factor,
+                     learn_rate)
+    h_err0 = su.h_err0
+    min_error_sum, max_error_sum = su.min_error_sum, su.max_error_sum
 
     # The backward walk reads history rows newest-first from the ring
     # (recur-nn.c:329-332).  Rather than materialising a reordered [D,S,i]
@@ -308,20 +362,8 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         jax.lax.scan(step, carry0, jnp.arange(depth))
     # eh_traj: [S, depth, h_size] in RING-SLOT order (matches state.history)
 
-    # ---- emergency scaling & adaptive min error (recur-nn.c:393-413) ----
-    clipped = last_err > error_sum_ceiling
-    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
-    broke = ~active_fin
-    t_final = jnp.where(broke, depth - k_active + 1, 0)
-    if cfg.adaptive_min_error:
-        depth_error = (depth // 4 - t_final).astype(jnp.float32)
-        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
-                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
-        grow = min_error_factor * (1.0 + depth_error * 1e-3)
-        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
-        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
-    else:
-        new_mef = min_error_factor
+    clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
+        cfg, su, min_error_factor, last_err, active_fin, k_active, depth)
     if cfg.has_bottom and cie is not None:
         cie = cie * jnp.where(clipped, ih_scale * ih_scale, 1.0)[:, None]
 
@@ -343,18 +385,10 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
         bottom_delta = jnp.einsum("si,so->io", bottom_inputs, bo_err,
                                   preferred_element_type=jnp.float32)
 
-    stats = {
-        "depth": (depth - t_final).astype(jnp.float32),
-        "ih_scale": ih_scale,
-        "top_error_raw": top_error_sum,
-        "top_error_scaled": top_scaled,
-        "error_sum": last_err,
-        "cum_error": cum_err,
-        "min_error_threshold": min_error_sum,
-    }
-    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+    return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
                     bottom_delta=bottom_delta, min_error_factor=new_mef,
-                    stats=stats)
+                    stats=_bptt_stats(su, depth, t_final, ih_scale,
+                                      last_err, cum_err))
 
 
 def advance_history_factored(state: RnnState, input_row: jax.Array,
@@ -393,24 +427,13 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
     assert not cfg.has_bottom, "factored BPTT needs one-hot RNN inputs"
     assert state.tokens is not None, "state was not created factored=True"
     S = o_error.shape[0]
-    hidden = state.hidden
     depth = cfg.depth
     W = state.history.shape[2]                 # input_offset
     hmask = _hidden_mask(cfg)
-
-    h_err0 = (o_error @ params.ho.T)
-    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
-    h_err0 = jnp.where(live, h_err0, 0.0)
-    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)
-    top_scaled, h_err0 = softclip_scale(
-        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
-    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
-                          preferred_element_type=jnp.float32)
-
-    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
-    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
-    min_error_gain = MIN_ERROR_GAIN * top_scaled
-    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+    su = _bptt_setup(cfg, params, state.hidden, o_error, min_error_factor,
+                     learn_rate)
+    h_err0 = su.h_err0
+    min_error_sum, max_error_sum = su.min_error_sum, su.max_error_sum
 
     ih_head = params.ih[:W]                    # [W, h] bias+hidden rows
     ih_tail = params.ih[cfg.input_offset:
@@ -462,20 +485,8 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
 
     active_fin, last_err, k_active, cum_err, _ = walk(
         lambda extra, *a: extra, None)
-
-    clipped = last_err > error_sum_ceiling
-    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
-    broke = ~active_fin
-    t_final = jnp.where(broke, depth - k_active + 1, 0)
-    if cfg.adaptive_min_error:
-        depth_error = (depth // 4 - t_final).astype(jnp.float32)
-        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
-                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
-        grow = min_error_factor * (1.0 + depth_error * 1e-3)
-        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
-        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
-    else:
-        new_mef = min_error_factor
+    clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
+        cfg, su, min_error_factor, last_err, active_fin, k_active, depth)
 
     def accumulate(acc, hid_t, tok_t, scale_t, y_eh):
         if cfg.activation == Activation.RECLIP20:
@@ -492,18 +503,10 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
     acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
     *_, ih_delta = walk(accumulate, acc0)
 
-    stats = {
-        "depth": (depth - t_final).astype(jnp.float32),
-        "ih_scale": ih_scale,
-        "top_error_raw": top_error_sum,
-        "top_error_scaled": top_scaled,
-        "error_sum": last_err,
-        "cum_error": cum_err,
-        "min_error_threshold": min_error_sum,
-    }
-    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+    return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
                     bottom_delta=None, min_error_factor=new_mef,
-                    stats=stats)
+                    stats=_bptt_stats(su, depth, t_final, ih_scale,
+                                      last_err, cum_err))
 
 
 def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
@@ -525,23 +528,12 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
     tolerance, not bitwise.
     """
     S = o_error.shape[0]
-    hidden = state.hidden
     depth = cfg.depth
     hmask = _hidden_mask(cfg)
-
-    h_err0 = (o_error @ params.ho.T)
-    live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
-    h_err0 = jnp.where(live, h_err0, 0.0)
-    top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)
-    top_scaled, h_err0 = softclip_scale(
-        top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
-    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
-                          preferred_element_type=jnp.float32)
-
-    max_error_sum = MAX_ERROR_GAIN * top_scaled + 1.0
-    error_sum_ceiling = ERROR_GAIN_CEILING * top_scaled
-    min_error_gain = MIN_ERROR_GAIN * top_scaled
-    min_error_sum = jnp.minimum(min_error_factor / learn_rate, min_error_gain)
+    su = _bptt_setup(cfg, params, state.hidden, o_error, min_error_factor,
+                     learn_rate)
+    h_err0 = su.h_err0
+    min_error_sum, max_error_sum = su.min_error_sum, su.max_error_sum
 
     def walk(step_extra, carry_extra0):
         """The backward walk shared by both passes; step_extra(carry_extra,
@@ -585,20 +577,8 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
     # pass 1: outcomes only
     active_fin, last_err, k_active, cum_err, cie, _ = walk(
         lambda extra, inputs_t, y_eh: extra, None)
-
-    clipped = last_err > error_sum_ceiling
-    ih_scale = jnp.where(clipped, soft_clip(last_err, max_error_sum), 1.0)
-    broke = ~active_fin
-    t_final = jnp.where(broke, depth - k_active + 1, 0)
-    if cfg.adaptive_min_error:
-        depth_error = (depth // 4 - t_final).astype(jnp.float32)
-        cond = ((min_error_factor < MAX_MIN_ERROR_FACTOR)
-                & ((min_error_gain != min_error_sum) | (depth_error < 0)))
-        grow = min_error_factor * (1.0 + depth_error * 1e-3)
-        new_mef = jnp.where(~clipped & cond, grow, min_error_factor)
-        new_mef = jnp.maximum(new_mef, ABS_MIN_ERROR_FACTOR)
-    else:
-        new_mef = min_error_factor
+    clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
+        cfg, su, min_error_factor, last_err, active_fin, k_active, depth)
     if cfg.has_bottom and cie is not None:
         cie = cie * jnp.where(clipped, ih_scale * ih_scale, 1.0)[:, None]
 
@@ -620,18 +600,10 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
         bottom_delta = jnp.einsum("si,so->io", bottom_inputs, bo_err,
                                   preferred_element_type=jnp.float32)
 
-    stats = {
-        "depth": (depth - t_final).astype(jnp.float32),
-        "ih_scale": ih_scale,
-        "top_error_raw": top_error_sum,
-        "top_error_scaled": top_scaled,
-        "error_sum": last_err,
-        "cum_error": cum_err,
-        "min_error_threshold": min_error_sum,
-    }
-    return DeltaOut(ih_delta=ih_delta, ho_delta=ho_delta,
+    return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
                     bottom_delta=bottom_delta, min_error_factor=new_mef,
-                    stats=stats)
+                    stats=_bptt_stats(su, depth, t_final, ih_scale,
+                                      last_err, cum_err))
 
 
 def forget_state(state: RnnState, bptt_too: bool = True) -> RnnState:
