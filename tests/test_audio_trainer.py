@@ -173,3 +173,14 @@ def test_activity_bias_stream_duplication(tmp_path):
     assert abs(frac_plain - 0.1) < 0.06, frac_plain
     # 3 streams, 2 of them all-active: expectation ~ (0.1 + 1 + 1) / 3 = 0.7
     assert frac_biased > 0.5, frac_biased
+
+
+def test_loader_thread_propagates_errors(tmp_path):
+    """IO errors in the background loader surface in the caller, not as a
+    silent dead thread."""
+    clf = AudioClassifier(classes="Mx", n_channels=1, window_size=256,
+                          hidden_size=9, net_filename=str(tmp_path / "n.net"))
+    tr = Trainer(clf, [LabelledFile("/nowhere/missing.wav", "M")], [],
+                 seed=1, verbose=False)
+    with pytest.raises(FileNotFoundError):
+        tr.train_epoch()
