@@ -164,6 +164,31 @@ def main():
             best = S * T / dt
             best_cfg = (S, T, str(jnp.dtype(hdtype)), impl)
 
+    # the reference's big-net point (recur-nn.c:26-31 brags about h=1999):
+    # one config, S=512 streams x T=2048 chunks
+    h1999 = 0.0
+    if jax.default_backend() != "cpu":
+        big = nn.new_net(42, 1999, 42,
+                         flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
+                         rng_seed=1, depth=30, learn_rate=1e-4)
+        winit.randomise_weights(big)
+        S, T = 512, 2048
+        hyper = TrainHyper(condition=False)
+        params = jax.device_put(jax.tree.map(jnp.copy, big.params))
+        bptt = nn.new_bptt_state(big.cfg, S, 1e-4, 0.95)
+        state = nn.new_state(big.cfg, S, history_dtype=jnp.bfloat16)
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(0, 42, size=(S, T + 1)))
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            params, bptt, state, tot = engine.char_train_chunk(
+                big.cfg, hyper, params, bptt, state, tokens,
+                jax.random.PRNGKey(0), jnp.float32(0.95), jnp.float32(0.0))
+            float(tot.entropy)
+            times.append(time.perf_counter() - t0)
+        h1999 = S * T / sorted(times[2:])[len(times[2:]) // 2]
+
     # classify north star (BASELINE.json): windows/s vs the C window step
     classify_base = max(c_classify_baseline(), c_classify_baseline())
     classify = classify_compute_bench()
@@ -176,6 +201,7 @@ def main():
         "vs_baseline": round(best / base, 1),
         "extra": {
             "best_config": best_cfg,
+            "h1999_net_steps_per_sec": round(h1999, 0),
             "classify_windows_per_sec": round(classify, 0),
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),
