@@ -68,9 +68,10 @@ def _bptt_specs(cfg: RnnConfig) -> BpttState:
         ih_delta=mat_ih, ho_delta=mat_ho, bottom_delta=b)
 
 
-def _state_specs(cfg: RnnConfig) -> RnnState:
+def _state_specs(cfg: RnnConfig, factored: bool = False) -> RnnState:
     return RnnState(hidden=P("data", None), history=P("data", None, None),
-                    head=P())
+                    head=P(),
+                    tokens=P("data", None) if factored else None)
 
 
 def shard_train_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
@@ -85,17 +86,19 @@ def shard_train_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
             tree, specs)
     return (put(params, _param_specs(cfg)),
             put(bptt, _bptt_specs(cfg)),
-            put(state, _state_specs(cfg)))
+            put(state, _state_specs(cfg, factored=state.tokens is not None)))
 
 
 def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
     """A jitted char_train_chunk with mesh shardings: streams over 'data',
     hidden dim over 'model'.  Returns fn(params, bptt, state, tokens, key,
     momentum, noise)."""
+    factored = getattr(hyper, "bptt_impl", "buffered") == "factored"
     in_shardings = (
         jax.tree.map(lambda s: NamedSharding(mesh, s), _param_specs(cfg)),
         jax.tree.map(lambda s: NamedSharding(mesh, s), _bptt_specs(cfg)),
-        jax.tree.map(lambda s: NamedSharding(mesh, s), _state_specs(cfg)),
+        jax.tree.map(lambda s: NamedSharding(mesh, s),
+                     _state_specs(cfg, factored=factored)),
         NamedSharding(mesh, P("data", None)),   # tokens [S, T+1]
         NamedSharding(mesh, P()),               # key
         NamedSharding(mesh, P()),               # momentum

@@ -193,3 +193,36 @@ def test_multihead_head_sharding():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(stats.entropy), float(stats1.entropy),
                                rtol=1e-4)
+
+
+def test_gspmd_factored_impl():
+    """The factored-ring BPTT also runs sharded (data x model) and matches
+    the single-device factored chunk."""
+    import dataclasses
+    S, T = 16, 16
+    net = nn.new_net(9, 15, 9, rng_seed=3, depth=3, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False, bptt_impl="factored")
+    tokens = jnp.asarray(np.random.default_rng(2).integers(0, 9, (S, T + 1)))
+    args = (jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params, bptt, state = shard_train_args(
+        mesh, cfg, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S, factored=True))
+    tok_s = jax.device_put(tokens, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", None)))
+    p, b, s, tot = sharded_train_chunk(mesh, cfg, hyper)(
+        params, bptt, state, tok_s, *args)
+
+    p1, b1, s1, tot1 = engine.char_train_chunk(
+        cfg, hyper, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+        nn.new_state(cfg, S, factored=True), tokens, *args)
+    np.testing.assert_allclose(np.asarray(p.ih), np.asarray(p1.ih),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
+                               rtol=1e-5)
