@@ -135,59 +135,48 @@ def main():
                    (2048, 2048, jnp.bfloat16, "buffered"))
     else:
         configs = ((64, 256, jnp.float32, "buffered"),)
-    for S, T, hdtype, impl in configs:
+    def time_chunk(a_net, S, T, hdtype, impl, reps=8):
+        """Median steps/s over the tail reps, with a device->host read as
+        the per-iteration sync (block_until_ready can return early on
+        queued work through the axon transport)."""
         hyper = TrainHyper(condition=False, bptt_impl=impl)
-        params = jax.device_put(jax.tree.map(jnp.copy, net.params))
-        bptt = nn.new_bptt_state(cfg, S, 1e-4, 0.95)
-        state = nn.new_state(cfg, S, history_dtype=hdtype,
+        params = jax.device_put(jax.tree.map(jnp.copy, a_net.params))
+        bptt = nn.new_bptt_state(a_net.cfg, S, 1e-4, 0.95)
+        state = nn.new_state(a_net.cfg, S, history_dtype=hdtype,
                              factored=(impl == "factored"))
-        rng = np.random.default_rng(0)
-        tokens = jnp.asarray(rng.integers(0, 42, size=(S, T + 1)))
+        tokens = jnp.asarray(np.random.default_rng(0).integers(
+            0, a_net.cfg.input_size, size=(S, T + 1)))
         key = jax.random.PRNGKey(0)
         args = (jnp.float32(0.95), jnp.float32(0.0))
-        # time with a full sync per iteration (the axon transport can return
-        # from a partial block_until_ready on freshly-queued work); drop the
-        # first two iterations, take the median of the rest
         times = []
-        for i in range(8):
+        for i in range(reps):
             t0 = time.perf_counter()
             params, bptt, state, tot = engine.char_train_chunk(
-                cfg, hyper, params, bptt, state, tokens, key, *args)
-            # a device->host read is the only reliable sync through the axon
-            # tunnel (block_until_ready can return early on queued work)
+                a_net.cfg, hyper, params, bptt, state, tokens, key, *args)
             float(tot.entropy)
             times.append(time.perf_counter() - t0)
         dt = sorted(times[2:])[len(times[2:]) // 2]
+        return S * T / dt
+
+    for S, T, hdtype, impl in configs:
+        rate = time_chunk(net, S, T, hdtype, impl)
         print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl}: "
-              f"{S * T / dt:,.0f} steps/s", file=sys.stderr)
-        if S * T / dt > best:
-            best = S * T / dt
+              f"{rate:,.0f} steps/s", file=sys.stderr)
+        if rate > best:
+            best = rate
             best_cfg = (S, T, str(jnp.dtype(hdtype)), impl)
 
     # the reference's big-net point (recur-nn.c:26-31 brags about h=1999):
     # one config, S=512 streams x T=2048 chunks
-    h1999 = 0.0
+    h1999 = None
     if jax.default_backend() != "cpu":
         big = nn.new_net(42, 1999, 42,
                          flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
                          rng_seed=1, depth=30, learn_rate=1e-4)
         winit.randomise_weights(big)
-        S, T = 512, 2048
-        hyper = TrainHyper(condition=False)
-        params = jax.device_put(jax.tree.map(jnp.copy, big.params))
-        bptt = nn.new_bptt_state(big.cfg, S, 1e-4, 0.95)
-        state = nn.new_state(big.cfg, S, history_dtype=jnp.bfloat16)
-        tokens = jnp.asarray(
-            np.random.default_rng(0).integers(0, 42, size=(S, T + 1)))
-        times = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            params, bptt, state, tot = engine.char_train_chunk(
-                big.cfg, hyper, params, bptt, state, tokens,
-                jax.random.PRNGKey(0), jnp.float32(0.95), jnp.float32(0.0))
-            float(tot.entropy)
-            times.append(time.perf_counter() - t0)
-        h1999 = S * T / sorted(times[2:])[len(times[2:]) // 2]
+        h1999 = time_chunk(big, 512, 2048, jnp.bfloat16, "buffered", reps=5)
+        print(f"# h=1999 S=512 T=2048: {h1999:,.0f} steps/s",
+              file=sys.stderr)
 
     # classify north star (BASELINE.json): windows/s vs the C window step
     classify_base = max(c_classify_baseline(), c_classify_baseline())
@@ -201,7 +190,7 @@ def main():
         "vs_baseline": round(best / base, 1),
         "extra": {
             "best_config": best_cfg,
-            "h1999_net_steps_per_sec": round(h1999, 0),
+            "h1999_net_steps_per_sec": round(h1999, 0) if h1999 else None,
             "classify_windows_per_sec": round(classify, 0),
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),

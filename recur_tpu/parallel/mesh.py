@@ -114,8 +114,20 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
     # hidden:[data,model] that mismatch in_shardings on the next call)
     out_shardings = (in_shardings[0], in_shardings[1], in_shardings[2],
                      NamedSharding(mesh, P()))
-    return jax.jit(fn, in_shardings=in_shardings,
-                   out_shardings=out_shardings)
+    jitted = jax.jit(fn, in_shardings=in_shardings,
+                     out_shardings=out_shardings)
+
+    def checked(params, bptt, state, *rest):
+        # fail loudly before jit's opaque pytree/sharding mismatch
+        if (state.tokens is not None) != factored:
+            raise ValueError(
+                f"TrainHyper.bptt_impl={hyper.bptt_impl!r} needs "
+                f"nn.new_state(..., factored={factored}) "
+                f"(state.tokens is {'set' if state.tokens is not None else 'None'})")
+        return jitted(params, bptt, state, *rest)
+
+    checked.lower = jitted.lower    # keep jit introspection available
+    return checked
 
 
 # ---------------------------------------------------------------------------

@@ -79,29 +79,39 @@ def bench_parrot(reps: int = 10, rate: int = 16000):
     p = Parrot()
     rng = np.random.default_rng(0)
     # one-second blocks of noise; train AND dream simultaneously (the
-    # element's playing+training mode)
+    # element's playing+training mode).  Warm up TWICE: the second train()
+    # call prepends the carried last MDCT frame, changing the chunk shape
+    # and forcing one more compile.
     block = (rng.standard_normal(rate) * 3000).astype(np.float32)
-    p.train(block)             # warm-up / compile
-    p.dream(rate)
-    t0 = time.perf_counter()
+    for _ in range(2):
+        p.train(block)
+        p.dream(rate)
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         p.train(block)
         out = p.dream(rate)
-    sync(out)
-    dt = time.perf_counter() - t0
-    return reps / dt           # seconds of audio per wall second
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return 1.0 / dt            # seconds of audio per wall second
 
 
 def main():
+    def combined(gen_fps, train_fps):
+        # the elements generate AND train every frame: the pipeline rate is
+        # the harmonic combination, not the min
+        return 1.0 / (1.0 / gen_fps + 1.0 / train_fps)
+
     results = {}
     ca_gen, ca_train = bench_rnnca()
     results["rnnca_generate_fps"] = round(ca_gen, 1)
     results["rnnca_train_fps"] = round(ca_train, 1)
-    results["rnnca_vs_budget"] = round(min(ca_gen, ca_train) / 20.0, 1)
+    results["rnnca_vs_budget"] = round(combined(ca_gen, ca_train) / 20.0, 1)
     rc_gen, rc_train = bench_recur()
     results["recur_generate_fps"] = round(rc_gen, 1)
     results["recur_train_fps"] = round(rc_train, 1)
-    results["recur_vs_budget"] = round(min(rc_gen, rc_train) / 25.0, 1)
+    results["recur_vs_budget"] = round(combined(rc_gen, rc_train) / 25.0, 1)
     try:
         xrt = bench_parrot()
         results["parrot_x_realtime"] = round(xrt, 1)

@@ -198,7 +198,6 @@ def test_multihead_head_sharding():
 def test_gspmd_factored_impl():
     """The factored-ring BPTT also runs sharded (data x model) and matches
     the single-device factored chunk."""
-    import dataclasses
     S, T = 16, 16
     net = nn.new_net(9, 15, 9, rng_seed=3, depth=3, learn_rate=1e-3,
                      flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
