@@ -199,7 +199,8 @@ def advance_history(state: RnnState, input_row: jax.Array) -> RnnState:
     history = jax.lax.dynamic_update_slice_in_dim(
         state.history, input_row[:, None, :].astype(state.history.dtype),
         head, axis=1)
-    return RnnState(hidden=state.hidden, history=history, head=head)
+    return RnnState(hidden=state.hidden, history=history, head=head,
+                    tokens=state.tokens)
 
 
 # --------------------------------------------------------------------------
