@@ -70,10 +70,13 @@ class TrainHyper:
     # reference parity.
     history_dtype: str = "float32"
     # BPTT gradient formulation: "buffered" (one walk + one big einsum over
-    # an [S, depth, h] error-trajectory buffer — reference layout) or
+    # an [S, depth, h] error-trajectory buffer — the throughput champion),
     # "twopass" (replay the walk, accumulating per-step outer products —
-    # ~55% of the HBM traffic for ~1.5x the matvecs; same numerics to f32
-    # tolerance).  See ops/core.py calc_deltas{,_twopass}.
+    # less HBM at ~1.5x the matvecs; measures ~2.2x slower on the chip), or
+    # "factored" (char models only: the ring stores [bias, hidden] + token
+    # ids instead of the dense row — ~18% less ring state, vocab gradient
+    # via one-hot einsums; ~80% of buffered's throughput).  All agree to
+    # f32 tolerance.  See ops/core.py calc_deltas{,_twopass,_factored}.
     bptt_impl: str = "buffered"
 
 

@@ -413,23 +413,27 @@ def advance_history_factored(state: RnnState, input_row: jax.Array,
 def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
                          o_error: jax.Array, min_error_factor: jax.Array,
                          learn_rate: jax.Array) -> DeltaOut:
-    """Two-pass BPTT over the one-hot-factored ring (char models: the input
-    section of every history row is one-hot).
+    """BPTT over the one-hot-factored ring (char models: the input section
+    of every history row is one-hot).
 
     The ring holds only [S, depth, input_offset] ([bias, hidden] — the
     one-hot's value equals the stored bias) plus token ids, so the backward
-    walk's matvec shrinks from h x i_size to h x input_offset, the token
-    column's error is a row gather instead of a matmul, and the gradient's
-    input-section rows become a scatter-add — ~17% less ring traffic and
-    walk FLOPs on top of the two-pass buffer elimination.  Same math as
-    calc_deltas to f32 tolerance.  No bottom layer (a bottom layer makes
-    the RNN inputs dense).
+    walk's matvec shrinks from h x i_size to h x input_offset and the
+    vocab-column error is a tiny one-hot matmul.  Structure mirrors
+    calc_deltas (single walk + error-trajectory buffer + final einsums —
+    a second replay walk measures ~2.2x slower, and a per-row scatter-add
+    for the vocab gradient serialises on TPU, so both gradient sections are
+    one-hot/dense einsums over the buffer).  Same math as calc_deltas to
+    f32 tolerance.  No bottom layer (a bottom layer makes the RNN inputs
+    dense).
     """
     assert not cfg.has_bottom, "factored BPTT needs one-hot RNN inputs"
     assert state.tokens is not None, "state was not created factored=True"
     S = o_error.shape[0]
     depth = cfg.depth
     W = state.history.shape[2]                 # input_offset
+    vocab = cfg.input_size
+    vocab_iota = jnp.arange(vocab)
     hmask = _hidden_mask(cfg)
     su = _bptt_setup(cfg, params, state.hidden, o_error, min_error_factor,
                      learn_rate)
@@ -439,70 +443,78 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
     ih_head = params.ih[:W]                    # [W, h] bias+hidden rows
     ih_tail = params.ih[cfg.input_offset:
                         cfg.input_offset + cfg.input_size]  # [vocab, h]
+    hdtype = state.history.dtype
+    eh_buf0 = jnp.zeros((S, depth, cfg.h_size), hdtype)
 
-    def walk(step_extra, carry_extra0):
-        def step(carry, t):
-            e_h, active, last_err, k_active, cum_err, extra = carry
-            slot = (state.head - t) % depth
-            hid_t = jax.lax.dynamic_slice_in_dim(
-                state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
-            tok_t = jax.lax.dynamic_slice_in_dim(
-                state.tokens, slot, 1, axis=1)[:, 0]         # [S]
-            scale_t = hid_t[:, 0]            # one-hot value == stored bias
-            e_h = e_h * hmask
-            # error on the [bias, hidden] section
-            e_hid = e_h @ ih_head.T                          # [S, W]
-            # error on the single live one-hot column: a row gather
-            e_tok = jnp.einsum("sh,sh->s", e_h,
-                               jnp.take(ih_tail, tok_t, axis=0))
-            if cfg.activation == Activation.RESQRT:
-                e_hid = e_hid / (2.0 * (hid_t + 1.0))
-                e_tok = e_tok / (2.0 * (scale_t + 1.0))
-            m = _row_mask(cfg, hid_t)
-            e_hid = jnp.where(m, e_hid, 0.0)
-            tok_live = scale_t != 0.0
-            if cfg.activation == Activation.RECLIP20:
-                tok_live = tok_live & (scale_t < 20.0)
-            e_tok = jnp.where(tok_live, e_tok, 0.0)
-            err_sum = (jnp.sum(e_hid * e_hid, axis=1) + e_tok * e_tok)
-            act_f = active.astype(jnp.float32)
-            y_eh = e_h * act_f[:, None]
-            extra = step_extra(extra, hid_t, tok_t, scale_t, y_eh)
-            cum_err = cum_err + jnp.sqrt(err_sum) * act_f
-            last_err = jnp.where(active, err_sum, last_err)
-            k_active = k_active + active.astype(jnp.int32)
-            trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
-            active = active & ~trip
-            e_next = jnp.zeros((S, cfg.h_size), jnp.float32)
-            e_next = e_next.at[:, :W].set(e_hid)
-            return (e_next, active, last_err, k_active, cum_err, extra), None
+    def step(carry, t):
+        e_h, active, last_err, k_active, cum_err, eh_buf = carry
+        slot = (state.head - t) % depth
+        hid_t = jax.lax.dynamic_slice_in_dim(
+            state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
+        tok_t = jax.lax.dynamic_slice_in_dim(
+            state.tokens, slot, 1, axis=1)[:, 0]         # [S]
+        scale_t = hid_t[:, 0]            # one-hot value == stored bias
+        e_h = e_h * hmask
+        # error on the [bias, hidden] section
+        e_hid = e_h @ ih_head.T                          # [S, W]
+        # error on the single live one-hot column, via one-hot matmul
+        # (a [vocab, h] row gather per step measures slower on TPU)
+        t_oh = (tok_t[:, None] == vocab_iota).astype(jnp.float32)
+        e_tok = jnp.einsum("sh,sh->s", e_h, t_oh @ ih_tail)
+        if cfg.activation == Activation.RESQRT:
+            e_hid = e_hid / (2.0 * (hid_t + 1.0))
+            e_tok = e_tok / (2.0 * (scale_t + 1.0))
+        m = _row_mask(cfg, hid_t)
+        e_hid = jnp.where(m, e_hid, 0.0)
+        tok_live = scale_t != 0.0
+        if cfg.activation == Activation.RECLIP20:
+            tok_live = tok_live & (scale_t < 20.0)
+        e_tok = jnp.where(tok_live, e_tok, 0.0)
+        err_sum = (jnp.sum(e_hid * e_hid, axis=1) + e_tok * e_tok)
+        act_f = active.astype(jnp.float32)
+        y_eh = e_h * act_f[:, None]
+        eh_buf = jax.lax.dynamic_update_slice_in_dim(
+            eh_buf, y_eh[:, None].astype(hdtype), slot, axis=1)
+        cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+        last_err = jnp.where(active, err_sum, last_err)
+        k_active = k_active + active.astype(jnp.int32)
+        trip = (err_sum <= min_error_sum) | (err_sum > max_error_sum)
+        active = active & ~trip
+        pad = cfg.h_size - W
+        e_next = (jnp.pad(e_hid, ((0, 0), (0, pad))) if pad else e_hid)
+        return (e_next, active, last_err, k_active, cum_err, eh_buf), None
 
-        carry0 = (h_err0, jnp.ones((S,), bool),
-                  jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
-                  jnp.zeros((S,), jnp.float32), carry_extra0)
-        (e_fin, active_fin, last_err, k_active, cum_err, extra), _ = \
-            jax.lax.scan(step, carry0, jnp.arange(depth))
-        return active_fin, last_err, k_active, cum_err, extra
+    carry0 = (h_err0, jnp.ones((S,), bool),
+              jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
+              jnp.zeros((S,), jnp.float32), eh_buf0)
+    (e_fin, active_fin, last_err, k_active, cum_err, eh_traj), _ = \
+        jax.lax.scan(step, carry0, jnp.arange(depth))
+    # eh_traj: [S, depth, h_size] in RING-SLOT order (matches state.history)
 
-    active_fin, last_err, k_active, cum_err, _ = walk(
-        lambda extra, *a: extra, None)
     clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
         cfg, su, min_error_factor, last_err, active_fin, k_active, depth)
 
-    def accumulate(acc, hid_t, tok_t, scale_t, y_eh):
-        if cfg.activation == Activation.RECLIP20:
-            hid_t = jnp.where(_row_mask(cfg, hid_t), hid_t, 0.0)
-            scale_t = jnp.where(scale_t < 20.0, scale_t, 0.0)
-        y = y_eh * ih_scale[:, None]
-        acc = acc.at[:W].add(jnp.einsum(
-            "si,sh->ih", hid_t, y, preferred_element_type=jnp.float32))
-        # the one-hot rows: scatter-add of scale_s * y_eh into row token_s
-        acc = acc.at[cfg.input_offset + tok_t].add(
-            y * scale_t[:, None])
-        return acc
+    # head section: Σ_{s,d} scale_s · [bias, hidden]_{s,d} ⊗ y_eh_{s,d}
+    hist = state.history                                  # [S, D, W]
+    scales = hist[:, :, 0]                                # one-hot values
+    if cfg.activation == Activation.RECLIP20:
+        hist = jnp.where(_row_mask(cfg, hist.astype(jnp.float32)),
+                         hist, jnp.zeros((), hdtype))
+        scales = jnp.where(scales.astype(jnp.float32) < 20.0, scales,
+                           jnp.zeros((), hdtype))
+    head_grad = jnp.einsum("sdw,sdh,s->wh", hist, eh_traj, ih_scale,
+                           preferred_element_type=jnp.float32)
+    # vocab section: Σ grouped by token id — scatter expressed as a one-hot
+    # einsum so it lands on the MXU
+    onehot = ((state.tokens[:, :, None] == vocab_iota)
+              .astype(hdtype) * scales[:, :, None])       # [S, D, vocab]
+    vocab_grad = jnp.einsum("sdv,sdh,s->vh", onehot, eh_traj, ih_scale,
+                            preferred_element_type=jnp.float32)
 
-    acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
-    *_, ih_delta = walk(accumulate, acc0)
+    ih_delta = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
+    ih_delta = ih_delta.at[:W].set(head_grad)
+    ih_delta = ih_delta.at[cfg.input_offset:cfg.input_offset + vocab].set(
+        vocab_grad)
 
     return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
                     bottom_delta=None, min_error_factor=new_mef,
