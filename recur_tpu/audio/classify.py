@@ -34,8 +34,8 @@ from recur_tpu.dsp.mfcc import AudioBinner
 from recur_tpu.dsp.windows import WindowType
 from recur_tpu.nn import Activation, Flag, LearningMethod
 from recur_tpu.ops import init as winit
-from recur_tpu.ops.core import (advance_history, calc_deltas,
-                                calc_deltas_twopass, forward_step)
+from recur_tpu.ops.core import (advance_history,
+                                dispatch_calc_deltas, forward_step)
 from recur_tpu.ops.conditioning import condition_net
 from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
 from recur_tpu.utils.hashing import rnn_hash32
@@ -215,8 +215,7 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
     correct = jnp.sum((winner == targets) & keep)
     trained = jnp.sum(keep)
 
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
 

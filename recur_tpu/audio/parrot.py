@@ -35,8 +35,8 @@ from recur_tpu.dsp.mdct import MDCT, frame_pcm
 from recur_tpu.dsp.windows import WindowType, window_mask
 from recur_tpu.nn import Flag, LearningMethod
 from recur_tpu.ops import init as winit
-from recur_tpu.ops.core import (advance_history, calc_deltas,
-                                calc_deltas_twopass, forward_step)
+from recur_tpu.ops.core import (advance_history,
+                                dispatch_calc_deltas, forward_step)
 from recur_tpu.ops.conditioning import condition_net
 from recur_tpu.ops.optimizers import apply_learning
 
@@ -57,8 +57,7 @@ def tanh_train_step(cfg, hyper, params, bptt, state, x, target, key):
     err = (1.0 - a * a) * (target - a)
     o_error = jnp.zeros((C, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,

@@ -78,10 +78,17 @@ def estimate_feature_normalisation(classifier: AudioClassifier,
     half = classifier.window_size // 2
     # probe one channel wide: _features_for_frames keeps Δ-feature state
     # shaped [order, n_channels, raw], so borrow a 1-wide buffer for the
-    # probe instead of tiling every frame across all channels
+    # probe instead of tiling every frame across all channels.  Probe RAW
+    # features: disable any installed normalisation for the duration so a
+    # re-estimation measures absolute statistics, not ones relative to the
+    # previous offsets/scales (which would compound to ~0/1).
     saved_prev = classifier._prev_features
+    saved_off = classifier.feature_offsets.copy()
+    saved_scale = classifier.feature_scales.copy()
     classifier._prev_features = np.zeros(
         (saved_prev.shape[0], 1, saved_prev.shape[2]), np.float32)
+    classifier.feature_offsets[:] = 0.0
+    classifier.feature_scales[:] = 1.0
     try:
         for f in files:
             data, _ = read_wav(f.path, target_rate=classifier.rate)
@@ -95,12 +102,18 @@ def estimate_feature_normalisation(classifier: AudioClassifier,
                 jnp.asarray(frames[:, None, :], jnp.float32))
             feats.append(np.asarray(x)[:, 0, :])
     finally:
+        # the probe ran on its own 1-wide Δ buffer; the classifier's real
+        # Δ state is restored untouched
         classifier._prev_features = saved_prev
+        classifier.feature_offsets[:] = saved_off
+        classifier.feature_scales[:] = saved_scale
+    if not feats:
+        raise ValueError(
+            "estimate_feature_normalisation: no usable audio in the sample "
+            f"({len(files)} file(s), each shorter than one analysis window)")
     all_feats = np.concatenate(feats)
     mu = all_feats.mean(axis=0)
     sd = all_feats.std(axis=0) + 1e-6
-    # reset transient Δ-feature state disturbed by the probing
-    classifier._prev_features[:] = 0
     classifier.set_feature_normalisation(offsets=mu, scales=1.0 / sd)
     return mu, 1.0 / sd
 
@@ -189,26 +202,44 @@ _DONE = object()
 
 def _prefetch(gen, depth: int = 3):
     """Run a generator in a daemon thread, yielding its items from a bounded
-    queue — the input pipeline overlaps file IO with device compute."""
+    queue — the input pipeline overlaps file IO with device compute.
+
+    If the consumer stops early (device error mid-epoch, caller breaks out),
+    the producer must not block forever in q.put holding multi-MB PCM
+    blocks: every put polls a stop event that the consumer sets on exit."""
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_DONE)
+                if not put(item):
+                    return
+            put(_DONE)
         except BaseException as e:       # surface IO errors in the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +386,7 @@ class Trainer:
                 auc_lists[(gi, x)] = []
 
         t0 = time.time()
-        w0 = self.c.window_no
+        windows_done = 0   # reset_state() zeroes window_no every batch
         files = self.test_files
         C = self.c.n_channels
         for i in range(0, len(files), C):
@@ -363,6 +394,7 @@ class Trainer:
             self.c.reset_state()
             self.c.events = []
             msgs = self._run_stream(self._assign_files(batch))
+            windows_done += self.c.window_no
             for m in msgs:
                 for j in range(min(C, len(batch))):
                     for gi, g in enumerate(groups):
@@ -386,7 +418,7 @@ class Trainer:
                                     auc_lists)
         result["windows"] = sum(sum(r.values()) for r in test_runs)
         result["test_windows_per_second"] = (
-            (self.c.window_no - w0) * C / max(elapsed, 1e-9))
+            windows_done * C / max(elapsed, 1e-9))
         return result
 
     def evaluate_test(self, test_scores, test_runs, pstats, auc_lists
@@ -508,13 +540,16 @@ class Trainer:
                          if all_aucs else g0["auc"])
         result["accuracy"] = (sum(all_accs) / len(all_accs)
                               if all_accs else g0["accuracy"])
-        result["dprime"] = g0["dprime"]
+        # aggregate like auc/accuracy: mean over groups (a single-group net
+        # still reports exactly its group's d')
+        result["dprime"] = (sum(g["dprime"] for g in result["groups"])
+                            / len(result["groups"]))
         if record_beaten and not self.no_save_net:
             base, ext = os.path.splitext(self.c.net_filename)
             tag = "auc-%d-acc-%d-dprime-%d" % (
                 int(result["auc"] * 1000 + 0.5),
                 int(result["accuracy"] * 1000 + 0.5),
-                int(g0["dprime"] * 100 + 0.5))
+                int(result["dprime"] * 100 + 0.5))
             name = f"{base}-best-gen{self.c.generation}-{tag}{ext}"
             self.c.save(name)
             if self.verbose:

@@ -31,10 +31,8 @@ from recur_tpu.nn import (
 from recur_tpu.ops.core import (
     advance_history,
     advance_history_factored,
-    calc_deltas,
-    calc_deltas_factored,
-    calc_deltas_twopass,
     capped_log2,
+    dispatch_calc_deltas,
     forward_step,
     softmax_best_guess_error,
 )
@@ -109,14 +107,9 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     # pad o_error back to o_size
     o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
 
-    if hyper.bptt_impl == "factored":
-        d = calc_deltas_factored(cfg, params, state, o_error,
-                                 bptt.min_error_factor, bptt.learn_rate)
-    else:
-        deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                     else calc_deltas)
-        d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
-                      bptt.min_error_factor, bptt.learn_rate)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
+                  bptt.min_error_factor, bptt.learn_rate)
 
     gen = bptt.generation + 1
     if hyper.batch_size > 1:
@@ -273,8 +266,7 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
     o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
 
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                   bptt.min_error_factor, bptt.learn_rate)
 

@@ -23,7 +23,8 @@ from recur_tpu import nn
 from recur_tpu.engine import TrainHyper
 from recur_tpu.models.alphabet import Alphabet
 from recur_tpu.nn import LearningMethod, Net, RnnConfig
-from recur_tpu.ops.core import advance_history, calc_deltas, capped_log2, forward_step
+from recur_tpu.ops.core import (advance_history, capped_log2,
+                                dispatch_calc_deltas, forward_step)
 from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
 from recur_tpu.ops.conditioning import condition_net
 from recur_tpu.utils.kvlog import KvLog
@@ -104,8 +105,7 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
     winner = jnp.argmax(p, axis=1)
     p_t = jnp.take_along_axis(p, y_safe[:, None], axis=1)[:, 0]
 
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,

@@ -23,8 +23,8 @@ from recur_tpu.nn import BpttState, RnnConfig, RnnParams, RnnState
 from recur_tpu.engine import TrainHyper
 from recur_tpu.ops.core import (
     advance_history,
-    calc_deltas,
     capped_log2,
+    dispatch_calc_deltas,
     forward_step,
 )
 from recur_tpu.ops.conditioning import condition_net
@@ -75,8 +75,7 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
         jnp.take_along_axis(p, target_class[:, None, None], axis=1)[:, 0, :],
         y_tok[:, None], axis=1)[:, 0]
 
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
 

@@ -626,6 +626,37 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                                       last_err, cum_err))
 
 
+def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False):
+    """Map TrainHyper.bptt_impl to a calc_deltas implementation with a
+    uniform (cfg, params, state, bottom_inputs, o_error, min_error_factor,
+    learn_rate) signature.
+
+    The factored ring only exists for one-hot char inputs whose state was
+    created with new_state(..., factored=True); paths that feed dense
+    features (audio, video, rnnumpy) or haven't wired a factored state must
+    reject it loudly rather than silently training with another formulation.
+    """
+    if bptt_impl == "buffered":
+        return calc_deltas
+    if bptt_impl == "twopass":
+        return calc_deltas_twopass
+    if bptt_impl == "factored":
+        if not factored_ok:
+            raise ValueError(
+                "bptt_impl='factored' is only supported where the history "
+                "ring is one-hot-factored (the char-LM training path); use "
+                "'buffered' or 'twopass' here")
+
+        def fn(cfg, params, state, bottom_inputs, o_error, min_error_factor,
+               learn_rate):
+            assert bottom_inputs is None, "factored BPTT has no bottom layer"
+            return calc_deltas_factored(cfg, params, state, o_error,
+                                        min_error_factor, learn_rate)
+        return fn
+    raise ValueError(f"unknown bptt_impl {bptt_impl!r}; expected 'buffered',"
+                     " 'twopass' or 'factored'")
+
+
 def forget_state(state: RnnState, bptt_too: bool = True) -> RnnState:
     """rnn_forget_history (recur-nn.c:8-16): zero the hidden state and,
     optionally, the whole BPTT history ring (the classify element's `forget`

@@ -29,8 +29,8 @@ from recur_tpu import nn
 from recur_tpu.engine import TrainHyper
 from recur_tpu.nn import Flag, LearningMethod
 from recur_tpu.ops import init as winit
-from recur_tpu.ops.core import (advance_history, calc_deltas,
-                                calc_deltas_twopass, forward_step)
+from recur_tpu.ops.core import (advance_history,
+                                dispatch_calc_deltas, forward_step)
 from recur_tpu.ops.conditioning import condition_net
 from recur_tpu.ops.optimizers import apply_learning, momentum_soft_start
 
@@ -282,8 +282,7 @@ def _rnnca_train_step(cfg, hyper, params, bptt, state, feats, targets, key,
     err = a * (1.0 - a) * (targets - a)
     o_error = jnp.zeros((feats.shape[0], cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :3].set(err)
-    deltas_fn = (calc_deltas_twopass if hyper.bptt_impl == "twopass"
-                 else calc_deltas)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
     d = deltas_fn(cfg, params, state, None, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,

@@ -110,6 +110,9 @@ def test_trainer_multigroup(tmp_path):
     assert g1["auc"] > 0.75, r
     for cls in ("M", "k", "w"):
         assert "auc" in g0["classes"][cls]
+    # the aggregate d' covers every group, not just group 0
+    assert r["dprime"] == pytest.approx(
+        (g0["dprime"] + g1["dprime"]) / 2)
 
 
 def test_trainer_full_length_unequal_files(tmp_path):
@@ -184,3 +187,57 @@ def test_loader_thread_propagates_errors(tmp_path):
                  seed=1, verbose=False)
     with pytest.raises(FileNotFoundError):
         tr.train_epoch()
+
+
+def test_eternal_alternator_round_robin():
+    """eternal_alternator cycles streams in order (classify.py:165-171 —
+    the reference applies it to its test-set cycles)."""
+    from recur_tpu.audio.trainer import eternal_alternator
+    a = [LabelledFile("a1", "M"), LabelledFile("a2", "M")]
+    b = [LabelledFile("b1", "x")]
+    it = eternal_alternator([a, b, []])
+    got = [next(it).path for _ in range(6)]
+    assert got == ["a1", "b1", "a2", "b1", "a1", "b1"]
+
+
+def test_prefetch_consumer_abort_releases_producer(tmp_path):
+    """If the consumer stops mid-stream, the producer thread must exit
+    rather than block forever in q.put holding PCM blocks."""
+    import threading
+    import time as _time
+    from recur_tpu.audio.trainer import _prefetch
+
+    started = threading.Event()
+
+    def gen():
+        for i in range(1000):
+            started.set()
+            yield i
+
+    it = _prefetch(gen(), depth=2)
+    assert next(it) == 0
+    started.wait(5)
+    n0 = threading.active_count()
+    it.close()                     # consumer aborts
+    deadline = _time.time() + 5
+    while threading.active_count() > n0 - 1 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n0 - 1, "producer thread leaked"
+
+
+def test_feature_normalisation_idempotent_and_empty(tmp_path):
+    """Re-estimation must measure RAW features (not compound with the
+    previously installed normalisation), and an unusable sample must raise
+    a clear error instead of np.concatenate's."""
+    files = make_wavs(str(tmp_path), n_per_class=2, seconds=1)
+    clf = AudioClassifier(classes="Mx", n_channels=2, window_size=256,
+                          hidden_size=9, net_filename=str(tmp_path / "n.net"))
+    mu1, sc1 = estimate_feature_normalisation(clf, files[:3])
+    mu2, sc2 = estimate_feature_normalisation(clf, files[:3])
+    np.testing.assert_allclose(mu1, mu2, rtol=1e-5)
+    np.testing.assert_allclose(sc1, sc2, rtol=1e-5)
+    # too-short sample -> explicit error
+    short = str(tmp_path / "Mshort.wav")
+    write_wav(short, np.zeros(8, np.float32), RATE)
+    with pytest.raises(ValueError, match="no usable audio"):
+        estimate_feature_normalisation(clf, [LabelledFile(short, "M")])

@@ -330,3 +330,18 @@ def test_factored_ring_equivalence():
         np.testing.assert_allclose(np.asarray(ba.min_error_factor),
                                    np.asarray(bb.min_error_factor),
                                    rtol=1e-5)
+
+
+def test_dispatch_calc_deltas_guards():
+    """The bptt_impl dispatcher rejects the factored formulation on paths
+    whose ring is dense, and unknown names everywhere."""
+    import pytest
+    from recur_tpu.ops.core import (calc_deltas, calc_deltas_twopass,
+                                    dispatch_calc_deltas)
+    assert dispatch_calc_deltas("buffered") is calc_deltas
+    assert dispatch_calc_deltas("twopass") is calc_deltas_twopass
+    assert callable(dispatch_calc_deltas("factored", factored_ok=True))
+    with pytest.raises(ValueError, match="factored"):
+        dispatch_calc_deltas("factored")
+    with pytest.raises(ValueError, match="unknown"):
+        dispatch_calc_deltas("einsum")
