@@ -4,3 +4,4 @@ from recur_tpu.parallel.mesh import (  # noqa: F401
     shard_train_args,
     sharded_train_chunk,
 )
+from recur_tpu.parallel import distributed  # noqa: F401  (multi-host/DCN)
