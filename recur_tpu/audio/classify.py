@@ -227,9 +227,17 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
 
     params, bptt = jax.lax.cond(err_sum > 0, do_apply,
                                 lambda a: a, (params, bptt))
-    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
-                               ih_scale=d.stats["ih_scale"],
-                               generation=bptt.generation + 1)
+    # channels with nothing to train skip rnn_bptt_calc_deltas in the
+    # reference (train_channel early-outs, gstclassify.c:2079-2094), so
+    # their per-clone adaptive min_error_factor must hold rather than be
+    # eroded by a zero-error walk
+    trained_ch = keep.any(axis=1)                      # [C]
+    bptt = dataclasses.replace(
+        bptt,
+        min_error_factor=jnp.where(trained_ch, d.min_error_factor,
+                                   bptt.min_error_factor),
+        ih_scale=d.stats["ih_scale"],
+        generation=bptt.generation + 1)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
 

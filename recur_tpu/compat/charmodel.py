@@ -24,7 +24,6 @@ from recur_tpu import nn as _nn
 from recur_tpu.engine import TrainHyper
 from recur_tpu.models import alphabet as _alpha
 from recur_tpu.models.multihead import (
-    multihead_cross_entropy,
     multihead_spin,
     multihead_train_chunk,
 )
@@ -261,9 +260,12 @@ class Net:
         if int(self._state.hidden.shape[0]) != 1:
             self._resize_streams(1)
         if ignore_start:
+            cfg = self.net.cfg
             self._state = multihead_spin(
-                self.net.cfg, self._params, len(self.alphabet), self._state,
-                jnp.asarray(syms[:ignore_start])[None])
+                cfg, self._params, len(self.alphabet), self._state,
+                jnp.asarray(syms[:ignore_start])[None],
+                cfg.presynaptic_noise > 0.0, self._next_key(),
+                jnp.float32(cfg.presynaptic_noise))
             syms = syms[ignore_start:]
         self._train_streams(syms[None, :], np.array([target]), leakage)
         if self.verbose:
@@ -294,30 +296,62 @@ class Net:
             self._bptt, min_error_factor=mef,
             ih_scale=jnp.ones((S,), jnp.float32))
 
+    # Document lengths vary per call; jitting one program per distinct
+    # [S, len] shape would recompile for every new document.  Instead each
+    # block is decomposed into a handful of fixed bucket sizes (state
+    # carries across the pieces), so at most len(_CHUNK_BUCKETS) programs
+    # per stream count ever compile.
+    _CHUNK_BUCKETS = (4096, 1024, 256, 64, 16, 4, 1)
+
+    def _chunk_spans(self, n_transitions: int):
+        i = 0
+        while i < n_transitions:
+            rem = n_transitions - i
+            n = next(b for b in self._CHUNK_BUCKETS if b <= rem)
+            yield i, n
+            i += n
+
     def _train_streams(self, block: np.ndarray, targets: np.ndarray,
                        leakage: float):
         S = block.shape[0]
         if int(self._state.hidden.shape[0]) != S:
             self._resize_streams(S)
-        self._params, self._bptt, self._state, stats = multihead_train_chunk(
-            self.net.cfg, self._hyper, len(self.alphabet),
-            self._params, self._bptt, self._state,
-            jnp.asarray(block), jnp.asarray(targets),
-            jnp.float32(leakage), self._next_key(),
-            jnp.float32(self.momentum),
-            jnp.float32(self.net.cfg.presynaptic_noise))
+        targets = jnp.asarray(targets)
+        err = ent = 0.0
+        for i, n in self._chunk_spans(block.shape[1] - 1):
+            piece = jnp.asarray(block[:, i:i + n + 1])
+            (self._params, self._bptt, self._state,
+             stats) = multihead_train_chunk(
+                self.net.cfg, self._hyper, len(self.alphabet),
+                self._params, self._bptt, self._state,
+                piece, targets, jnp.float32(leakage), self._next_key(),
+                jnp.float32(self.momentum),
+                jnp.float32(self.net.cfg.presynaptic_noise))
+            err += float(stats.error)
+            ent += float(stats.entropy)
         n = max(block.shape[0] * (block.shape[1] - 1), 1)
-        self.log.log_float("t_error", float(stats.error) / n)
-        self.log.log_float("t_entropy", float(stats.entropy) / n)
+        self.log.log_float("t_error", err / n)
+        self.log.log_float("t_entropy", ent / n)
         self.log.log_int("generation", self.generation)
 
     # ---- scoring (Net_test) ----
     def test(self, text, ignore_start: int = 0, as_list: bool = False):
         syms = self._as_symbols(text)
-        ent = multihead_cross_entropy(
-            self.net.cfg, self._params, len(self.alphabet),
-            jnp.asarray(syms)[None], int(ignore_start))
-        vals = [float(x) for x in np.asarray(ent[0])]
+        cfg = self.net.cfg
+        # bucket-decomposed like _train_streams: a handful of compiled
+        # shapes instead of one per document length
+        from recur_tpu.models.multihead import multihead_xe_accumulate
+        hidden = jnp.zeros((1, cfg.h_size), jnp.float32)
+        sums = np.zeros(self.n_classes, np.float64)
+        count = 0.0
+        for i, n in self._chunk_spans(len(syms) - 1):
+            piece = jnp.asarray(syms[i:i + n + 1])[None]
+            hidden, s, c = multihead_xe_accumulate(
+                cfg, self._params, len(self.alphabet), hidden, piece,
+                jnp.int32(ignore_start - i))
+            sums += np.asarray(s[0], np.float64)
+            count += float(c)
+        vals = [float(x) for x in sums / max(count, 1.0)]
         if as_list:
             return vals
         return dict(zip(self.class_names, vals))

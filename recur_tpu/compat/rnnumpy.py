@@ -185,14 +185,13 @@ class Net:
                                  f"({features.shape[0]},)")
         if learn_rate > 0:
             self.learn_rate = learn_rate
-        tpad = np.zeros((targets.shape[0], cfg.output_size), np.float32)
-        tpad[:, :] = targets
+        targets = np.asarray(targets, np.float32)
         for _ in range(int(n_epochs)):
             m = self._balance_mask(targets, mask, balance)
             self._params, self._bptt, self._state, stats = \
                 engine.dense_train_chunk(
                     cfg, self._hyper, self._params, self._bptt, self._state,
-                    jnp.asarray(features)[None], jnp.asarray(tpad)[None],
+                    jnp.asarray(features)[None], jnp.asarray(targets)[None],
                     jnp.asarray(m)[None], self._next_key(),
                     jnp.float32(self.momentum),
                     jnp.float32(cfg.presynaptic_noise))

@@ -163,23 +163,10 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     return params, bptt, state, stats
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
-def char_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
-                     params: RnnParams, bptt: BpttState, state: RnnState,
-                     tokens: jax.Array, key: jax.Array,
-                     momentum_target: jax.Array,
-                     presynaptic_noise: jax.Array):
-    """Train on a [S, T+1] token block: scan char_train_step over T steps.
-
-    tokens[s, t] is input at step t; tokens[s, t+1] is its target.
-    Returns (params, bptt, state, summed_stats) — stats are summed over steps
-    and streams, ready for the report-interval accumulators.
-    """
-    S, T1 = tokens.shape
-    T = T1 - 1
-    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)   # [T, S]
-    ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
-    keys = jax.random.split(key, T)
+def _char_chunk_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                     momentum_target, presynaptic_noise):
+    """Shared body: scan char_train_step over time-major xs/ys [T, S]."""
+    keys = jax.random.split(key, xs.shape[0])
 
     def body(carry, inp):
         params, bptt, state = carry
@@ -194,6 +181,43 @@ def char_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
         body, (params, bptt, state), (xs, ys, keys))
     totals = jax.tree.map(jnp.sum, stats)
     return params, bptt, state, totals
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def char_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
+                     params: RnnParams, bptt: BpttState, state: RnnState,
+                     tokens: jax.Array, key: jax.Array,
+                     momentum_target: jax.Array,
+                     presynaptic_noise: jax.Array):
+    """Train on a [S, T+1] token block: scan char_train_step over T steps.
+
+    tokens[s, t] is input at step t; tokens[s, t+1] is its target.
+    Returns (params, bptt, state, summed_stats) — stats are summed over steps
+    and streams, ready for the report-interval accumulators.
+    """
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)   # [T, S]
+    ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
+    return _char_chunk_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                            momentum_target, presynaptic_noise)
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def char_train_chunk_xy(cfg: RnnConfig, hyper: TrainHyper,
+                        params: RnnParams, bptt: BpttState, state: RnnState,
+                        xs_tokens: jax.Array, ys_tokens: jax.Array,
+                        key: jax.Array, momentum_target: jax.Array,
+                        presynaptic_noise: jax.Array):
+    """char_train_chunk with separate input/target blocks [S, T].
+
+    Needed where targets are not simply the next input: the multi-tap epoch
+    wraps each stream's READ offset at len-1 but still targets the true
+    next character text[offset+1] (charmodel-predict.c:295-301), so at the
+    wrap the pair is (text[len-2] -> text[len-1]) while the next input
+    restarts at text[0]."""
+    xs = jnp.moveaxis(xs_tokens, 1, 0)   # [T, S]
+    ys = jnp.moveaxis(ys_tokens, 1, 0)
+    return _char_chunk_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                            momentum_target, presynaptic_noise)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -302,9 +326,15 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
                                       d.ho_delta, d.bottom_delta,
                                       hyper.learning_style, momentum,
                                       hyper.bottom_learn_rate_scale)
-    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
-                               ih_scale=d.stats["ih_scale"],
-                               generation=gen)
+    # masked rows skip calc_deltas in the reference (py-recur-numpy.c
+    # balance `continue`), so their adaptive min_error_factor must hold —
+    # a zero-error walk would otherwise erode it every masked row
+    bptt = dataclasses.replace(
+        bptt,
+        min_error_factor=jnp.where(train_mask > 0.0, d.min_error_factor,
+                                   bptt.min_error_factor),
+        ih_scale=d.stats["ih_scale"],
+        generation=gen)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
 

@@ -33,6 +33,7 @@ _C_SPACE = frozenset(b" \t\n\v\f\r")
 _C_DIGITS = frozenset(b"0123456789")
 _C_ALPHA = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _C_UPPER = frozenset(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_C_LOWER = frozenset(b"abcdefghijklmnopqrstuvwxyz")
 
 
 def _isspace(c: int) -> bool:
@@ -198,8 +199,12 @@ class Alphabet:
             lut[c] = collapse_target
         for i, c in enumerate(self.points):
             lut[c] = i
-            if self.case_insensitive and c < 256 and chr(c).islower():
-                lut[ord(chr(c).upper())] = i
+            # C-locale islower/toupper: ASCII only, like the reference
+            # ("FIXME: case insensitivity works for ascii only",
+            # charmodel-init.c:259-262) — Python's unicode-aware islower
+            # would also map e.g. Σ→σ and diverge from the C module
+            if self.case_insensitive and c in _C_LOWER:
+                lut[c - 32] = i
         return lut
 
     def encode(self, text: bytes | str) -> np.ndarray:
@@ -268,15 +273,25 @@ def _urlencode(s: str) -> str:
 
 
 def _urldecode(s: str) -> str:
+    """urldecode_alloc (charmodel-init.c:507-528), byte-wise and tolerant:
+    a truncated or non-hex escape passes through literally, and literal
+    non-Latin-1 characters (possible only in hand-edited metadata) are
+    re-encoded as their UTF-8 bytes instead of raising."""
     out = bytearray()
     i = 0
     while i < len(s):
-        if s[i] == "%" and i + 2 < len(s) + 1:
-            out.append(int(s[i + 1:i + 3], 16))
-            i += 3
-        else:
-            out.append(ord(s[i]))
-            i += 1
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(int(s[i + 1:i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        # metadata strings were UTF-8-decoded from the net file (nn.py),
+        # so a literal non-ASCII char stands for its UTF-8 bytes
+        out.extend(bytes([ord(c)]) if ord(c) < 128 else c.encode("utf-8"))
+        i += 1
     return out.decode("utf-8", errors="replace")
 
 

@@ -283,12 +283,17 @@ class CharModel:
         i = start
         while i < L:
             n = min(chunk, L - i, self.report_interval - report_counter)
-            idx = (i + np.arange(n + 1)[None, :] + offsets) % L
-            tokens = jnp.asarray(text[idx])
+            # the read offset wraps modulo L = len-1, but the target is
+            # always the true next char text[idx+1] — at the wrap the pair
+            # is (text[L-1] -> text[L]), NOT (text[L-1] -> text[0])
+            # (charmodel-predict.c:295-301)
+            idx = (i + np.arange(n)[None, :] + offsets) % L
+            xs_tok = jnp.asarray(text[idx])
+            ys_tok = jnp.asarray(text[idx + 1])
             self._sync_scalars()
-            self.params, self.bptt, self.state, totals = engine.char_train_chunk(
+            self.params, self.bptt, self.state, totals = engine.char_train_chunk_xy(
                 self.cfg, self.hyper, self.params, self.bptt, self.state,
-                tokens, self._next_key(), jnp.float32(self.momentum),
+                xs_tok, ys_tok, self._next_key(), jnp.float32(self.momentum),
                 jnp.float32(self.presynaptic_noise))
             self._pull_scalars()
             acc["error"] += float(totals.error)

@@ -111,9 +111,16 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
                                   d.bottom_delta, hyper.learning_style,
                                   momentum, hyper.bottom_learn_rate_scale)
-    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
-                               ih_scale=d.stats["ih_scale"],
-                               generation=bptt.generation + 1)
+    # NO_CLASS streams skip rnn_bptt_calc_deltas in the reference
+    # (charmodel-classify.c:144-160), so their adaptive min_error_factor
+    # must not move: a zero-error walk trips at step 1 and would erode it
+    # by ~(1 - .023) per masked char until the early-exit floor vanishes.
+    bptt = dataclasses.replace(
+        bptt,
+        min_error_factor=jnp.where(live, d.min_error_factor,
+                                   bptt.min_error_factor),
+        ih_scale=d.stats["ih_scale"],
+        generation=bptt.generation + 1)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
     livef = live.astype(jnp.float32)
@@ -226,9 +233,11 @@ class TextClassifier:
         if prime:
             idx = (np.arange(prime)[None, :] + offs) % L
             from recur_tpu.models.multihead import multihead_spin
-            self.state = multihead_spin(self.cfg, self.params,
-                                        self.cfg.input_size, self.state,
-                                        jnp.asarray(symbols[idx]))
+            self.state = multihead_spin(
+                self.cfg, self.params, self.cfg.input_size, self.state,
+                jnp.asarray(symbols[idx]),
+                self.cfg.presynaptic_noise > 0.0, self._next_key(),
+                jnp.float32(self.cfg.presynaptic_noise))
         acc = dict(error=0.0, entropy=0.0, correct=0.0, seen=0.0)
         last_report = {}
         report_counter = self.generation % self.report_interval

@@ -136,21 +136,30 @@ def multihead_train_chunk(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     return params, bptt, state, jax.tree.map(jnp.sum, stats)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
+@partial(jax.jit, static_argnums=(0, 2, 5))
 def multihead_spin(cfg: RnnConfig, params: RnnParams, alphabet_len: int,
-                   state: RnnState, tokens):
+                   state: RnnState, tokens, use_noise: bool = False,
+                   key=None, presynaptic_noise=0.0):
     """rnn_char_multitext_spin (charmodel-multi-predict.c:283-304): run text
-    through the net updating state/history without training."""
+    through the net updating state/history without training.  The reference
+    forwards with net->presynaptic_noise (one_hot_opinion(net, text[i],
+    net->presynaptic_noise)), so spin-through must be as noisy as training
+    for the primed state to match."""
     xs = jnp.moveaxis(tokens, 1, 0)
+    keys = (jax.random.split(key, xs.shape[0]) if use_noise
+            else jnp.zeros((xs.shape[0], 2), jnp.uint32))
 
-    def body(state, x_tok):
+    def body(state, inp):
+        x_tok, k = inp
         x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
-        fwd = forward_step(cfg, params, state.hidden, x)
+        fwd = forward_step(cfg, params, state.hidden, x,
+                           noise_key=k if use_noise else None,
+                           presynaptic_noise=presynaptic_noise)
         state2 = advance_history(state, fwd.input_row)
         return RnnState(hidden=fwd.hidden, history=state2.history,
                         head=state2.head), None
 
-    state, _ = jax.lax.scan(body, state, xs)
+    state, _ = jax.lax.scan(body, state, (xs, keys))
     return state
 
 
@@ -182,6 +191,38 @@ def multihead_cross_entropy(cfg: RnnConfig, params: RnnParams,
     mask = (jnp.arange(T - 1) >= ignore_start).astype(jnp.float32)
     ent = -(p2 * mask[:, None, None]).sum(axis=0) / mask.sum()
     return ent
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def multihead_xe_accumulate(cfg: RnnConfig, params: RnnParams,
+                            alphabet_len: int, hidden, tokens, skip):
+    """One chunk of the per-class XE sum with a carried hidden state, so a
+    long document scores as a few fixed-shape device calls instead of one
+    length-shaped program per document (each distinct shape is an XLA
+    recompile).  tokens: [S, T]; skip: traced int — predictions with local
+    index < skip are ignored (pass ignore_start - chars_already_seen).
+    Returns (hidden, -log2 p sums [S, n_classes], counted predictions)."""
+    n_classes = cfg.output_size // alphabet_len
+    S, T = tokens.shape
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
+
+    def body(h, x_tok):
+        x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
+        fwd = forward_step(cfg, params, h, x)
+        return fwd.hidden, fwd.output
+
+    hidden, outs = jax.lax.scan(body, hidden, xs)     # [T-1, S, o]
+    logits = outs[:, :, :n_classes * alphabet_len].reshape(
+        T - 1, S, n_classes, alphabet_len)
+    logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
+    tgt = jnp.moveaxis(tokens[:, 1:], 1, 0)
+    p2 = jnp.take_along_axis(
+        logp2, tgt[:, :, None, None].repeat(n_classes, axis=2),
+        axis=-1)[..., 0]
+    p2 = jnp.maximum(p2, -100.0)
+    mask = (jnp.arange(T - 1) >= skip).astype(jnp.float32)
+    sums = -(p2 * mask[:, None, None]).sum(axis=0)    # [S, C]
+    return hidden, sums, mask.sum()
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))

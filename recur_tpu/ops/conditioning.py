@@ -118,8 +118,11 @@ def weight_noise(cfg: RnnConfig, params: RnnParams, key: jax.Array,
         noise(k2, (cfg.hidden_size + 1, cfg.output_size)))
     bottom = params.bottom
     if cfg.has_bottom and bottom is not None:
+        # reference region (recur-nn.c:878-882, [out, in] layout rows
+        # 0..output_size, cols 1..input_size+1) transposed to our
+        # [bottom_i_size, bottom_o_size] layout: input rows 1.., output cols
         n_b = jnp.zeros_like(bottom)
-        n_b = n_b.at[:cfg.input_size, 1:cfg.bottom_input_size + 1].set(
-            noise(k3, (cfg.input_size, cfg.bottom_input_size)))
+        n_b = n_b.at[1:cfg.bottom_input_size + 1, :cfg.input_size].set(
+            noise(k3, (cfg.bottom_input_size, cfg.input_size)))
         bottom = bottom + n_b
     return RnnParams(ih=ih + n_ih, ho=ho + n_ho, bottom=bottom)

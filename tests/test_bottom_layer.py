@@ -58,3 +58,32 @@ def test_bottom_net_save_load(tmp_path):
     assert net2.cfg.bottom_input_size == 4
     np.testing.assert_array_equal(np.asarray(net2.params.bottom),
                                   np.asarray(net.params.bottom))
+
+
+def test_weight_noise_bottom_region():
+    """weight_noise targets the reference region of the bottom matrix —
+    input rows 1..bottom_input_size+1, output cols 0..input_size in our
+    [bottom_i, bottom_o] layout (recur-nn.c:878-882 transposed).  The old
+    transposed indices crashed whenever input_size > bottom_i_size."""
+    from recur_tpu.ops.conditioning import weight_noise
+
+    # input_size (6) > bottom_i_size (align4(4+1)=8? no: 4+1->8);
+    # use a wide net where the transposed slice could not even fit
+    net = nn.new_net(20, 11, 4,
+                     flags=Flag.STANDARD, rng_seed=1, depth=5,
+                     bottom_input_size=4)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    assert cfg.input_size > cfg.bottom_i_size  # the old-crash shape
+    p0 = jax.tree.map(jnp.copy, net.params)
+    p1 = weight_noise(cfg, net.params, jax.random.PRNGKey(0),
+                      jnp.float32(0.1))
+    b0 = np.asarray(p0.bottom)
+    b1 = np.asarray(p1.bottom)
+    diff = b1 - b0
+    live = diff[1:cfg.bottom_input_size + 1, :cfg.input_size]
+    assert np.count_nonzero(live) > live.size // 2
+    # bias row, pad rows and pad cols untouched
+    assert np.all(diff[0] == 0)
+    assert np.all(diff[cfg.bottom_input_size + 1:] == 0)
+    assert np.all(diff[:, cfg.input_size:] == 0)

@@ -43,19 +43,53 @@ def test_classifier_learns():
     syms, cls, names = alloc_classified_text(blocks, a, ignore_start=5)
     net = nn.new_net(len(a), 23, 2,
                      flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
-                     rng_seed=3, depth=10, learn_rate=0.02, momentum=0.9)
+                     rng_seed=3, depth=10, learn_rate=0.005, momentum=0.9)
     winit.randomise_weights(net)
     clf = TextClassifier(net, a, names, n_streams=2, report_interval=400)
     r = {}
-    # 5 epochs at lr 0.02 reaches ~0.9 (more epochs eventually destabilise
-    # this deliberately hot learn rate)
-    for _ in range(5):
+    # lr 0.005 reaches ~1.0 by epoch 2 and stays there (hotter rates
+    # destabilise under the reference-faithful NO_CLASS handling, which
+    # holds the adaptive BPTT floor through the ignore_start regions)
+    for _ in range(3):
         r = clf.epoch(syms, cls, validation=(syms[:300], cls[:300]),
                       quietness=2)
     assert r, "no report emitted"
-    assert r["accuracy"] > 0.8, r
+    assert r["accuracy"] > 0.9, r
     # per-char probabilities discriminate held-out text
     p1 = clf.classify_text(a.encode(b"abcd abcd abcd abcd"))
     p2 = clf.classify_text(a.encode(b"efgh efgh efgh efgh"))
     assert p1[8:, 0].mean() > 0.6
     assert p2[8:, 1].mean() > 0.6
+
+
+def test_no_class_preserves_min_error_factor():
+    """Streams whose labels are all NO_CLASS skip calc_deltas in the
+    reference, so their adaptive min_error_factor must not erode (a
+    zero-error walk trips immediately and would shrink it every char)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from recur_tpu import nn
+    from recur_tpu.engine import TrainHyper
+    from recur_tpu.models.classify_text import NO_CLASS, classify_train_chunk
+    from recur_tpu.ops import init as winit
+
+    net = nn.new_net(9, 15, 3, rng_seed=2, depth=8, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD | nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    S, T = 4, 64
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 9, (S, T)))
+    classes = np.asarray(rng.integers(0, 3, (S, T)))
+    classes[0] = NO_CLASS                   # stream 0 never trains
+    bptt = nn.new_bptt_state(cfg, S, 1e-3, 0.9)
+    mef0 = np.asarray(bptt.min_error_factor).copy()
+    _, bptt, _, _ = classify_train_chunk(
+        cfg, TrainHyper(condition=False), net.params, bptt,
+        nn.new_state(cfg, S), tokens, jnp.asarray(classes),
+        jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0))
+    mef = np.asarray(bptt.min_error_factor)
+    assert mef[0] == mef0[0], (mef[0], mef0[0])
+    # the trained streams' floors did evolve
+    assert np.any(mef[1:] != mef0[1:])

@@ -109,3 +109,26 @@ class TestForget:
         assert float(jnp.abs(f.history).sum()) == 0.0
         f2 = forget_state(s, bptt_too=False)
         assert float(jnp.abs(f2.history).sum()) > 0.0
+
+
+def test_case_insensitive_lut_is_ascii_only():
+    """C-locale case folding (charmodel-init.c:259-262 'works for ascii
+    only'): Python's unicode-aware islower must not leak in."""
+    from recur_tpu.models.alphabet import Alphabet
+
+    a = Alphabet.from_chars(" aé", case_insensitive=True, utf8=True)
+    lut = a.char_lut()
+    assert lut[ord("A")] == lut[ord("a")]        # ASCII folds
+    assert ord("É") not in lut                   # é does NOT fold
+    enc = a.encode("É")
+    assert enc[0] == lut[ord(" ")]               # unknown -> space
+
+
+def test_urldecode_edges():
+    from recur_tpu.models.alphabet import _urldecode
+
+    assert _urldecode("abc%20d") == "abc d"
+    assert _urldecode("abc%4") == "abc%4"        # truncated escape: literal
+    assert _urldecode("100%zz") == "100%zz"      # non-hex escape: literal
+    assert _urldecode("café") == "café"   # latin-1 literal
+    assert _urldecode("Σ") == "Σ"      # >255 literal survives
