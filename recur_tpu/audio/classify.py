@@ -345,9 +345,11 @@ class AudioClassifier:
         self.intensity_feature = intensity_feature
         self.window_type = WindowType(window_type)
         self.net_basename = basename
+        # the binner always computes CLASSIFY_N_FFT_BINS mel-ish bins
+        # (recur_audio_binner_new, gstclassify.c:962-968); mfccs selects how
+        # many DCT coefficients of those 40 bins are kept as features
         self.binner = AudioBinner(
-            window_size, window_type,
-            mfccs if mfccs else CLASSIFY_N_FFT_BINS,
+            window_size, window_type, CLASSIFY_N_FFT_BINS,
             min_frequency, max_frequency, knee_frequency, focus_frequency,
             audio_rate, value_size=2)
         n_raw = (mfccs if mfccs else CLASSIFY_N_FFT_BINS) + intensity_feature
@@ -455,8 +457,7 @@ class AudioClassifier:
             # onto a Hann frontend)
             self.window_type = WindowType(int(self.window_type))
             self.binner = AudioBinner(
-                self.window_size, self.window_type,
-                self.mfccs if self.mfccs else CLASSIFY_N_FFT_BINS,
+                self.window_size, self.window_type, CLASSIFY_N_FFT_BINS,
                 self.min_frequency, self.max_frequency, self.knee_frequency,
                 self.focus_frequency, self.rate, value_size=2)
             n_raw = ((self.mfccs if self.mfccs else CLASSIFY_N_FFT_BINS)

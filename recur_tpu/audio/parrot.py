@@ -198,9 +198,13 @@ class Parrot:
         self._dream_hidden, self._dream_answer, frames = parrot_dream_chunk(
             self.net.cfg, n_frames, self.params, self._dream_hidden,
             self._dream_answer, self._next_key())
-        # inverse MDCT + synthesis window; overlap-add at half hop
+        # inverse MDCT + synthesis window; overlap-add at half hop.  The
+        # reference applies the SAME 1/32768-scaled window at analysis and
+        # synthesis and restores "doubly" with x32768^2 (gstparrot.c:287,
+        # 566-575) — the synthesis window must carry its 1/32768 factor or
+        # the restore overdrives the output 32768x into clipping.
         t_frames = np.asarray((frames @ jnp.asarray(self.mdct.I))
-                              * self.mdct.mask)   # [T, C, W]
+                              * self.analysis_mask)   # [T, C, W]
         C = self.n_channels
         out = np.zeros((C, n_frames * self.half), np.float32)
         prev = self._dream_prev_frame

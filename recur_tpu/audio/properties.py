@@ -79,8 +79,9 @@ CLASSIFY_PROPERTIES: tuple[Prop, ...] = (
     Prop("bptt-depth", int, 30, "truncated BPTT depth", rng=(1, 1000)),
     Prop("bottom-layer", int, 0, "optional feed-forward bottom layer size"),
     Prop("learning-style", int, 1,
-         "0 classical, 1 Nesterov, 2 simplified-Nesterov, 3 adagrad, "
-         "4 adadelta, 5 rprop, 6 weighted"),
+         "0 weighted momentum, 1 Nesterov, 2 simplified-Nesterov, "
+         "3 classical, 4 adagrad, 5 adadelta, 6 rprop "
+         "(rnn_learning_method, recur-nn.h:109-119)"),
     Prop("activation", int, 2, "1 ReLU, 2 ReSQRT, 5 clipped ReLU",
          cli=False),
     Prop("presynaptic-noise", float, 0.0, "gaussian noise on hidden sums"),

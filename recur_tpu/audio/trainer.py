@@ -193,6 +193,11 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
                     offsets[j] += n
                     any_audio = True
         if not any_audio:
+            if phrases:
+                # all channels ended exactly on a block boundary: the
+                # stop-training markers still must reach the consumer, or
+                # stale targets leak into the next epoch
+                yield None, phrases
             return
         yield block, phrases
 
@@ -326,6 +331,8 @@ class Trainer:
                              len(self.c.groups), self.timings)
         for block, phrases in _prefetch(gen):
             self._install_events(phrases, w0)
+            if block is None:      # final stop-markers with no audio left
+                continue
             msgs.extend(self.c.feed(block))
             self._prune_events()
         msgs.extend(self.c.flush())

@@ -7,20 +7,12 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 
 from recur_tpu.audio.wavio import read_wav
-from recur_tpu.dsp.rescale import downscale_to_float
+from recur_tpu.dsp.rescale import u8_thumbnail
 from recur_tpu.utils.video_io import read_y4m, write_y4m
 from recur_tpu.video.recur_ctx import (
     AUDIO_RATE, CONSTRUCT_H, CONSTRUCT_W, RecurContext, WORKING_H, WORKING_W)
-
-
-def thumb(frame, w, h):
-    out = np.empty((3, h, w), np.uint8)
-    for p in range(3):
-        out[p] = (downscale_to_float(frame[p], h, w) * 256).astype(np.uint8)
-    return out
 
 
 def main(argv=None) -> int:
@@ -53,7 +45,7 @@ def main(argv=None) -> int:
                 if audio is not None:
                     a0 = i * samples_per_frame
                     ctx.set_audio_window(audio[a0:a0 + 512])
-                t = thumb(frame, WORKING_W, WORKING_H)
+                t = u8_thumbnail(frame, WORKING_H, WORKING_W)
                 if prev is not None:
                     ctx.train_frame_pair(prev, t)
                 prev = t

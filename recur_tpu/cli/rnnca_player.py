@@ -6,19 +6,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 
-from recur_tpu.dsp.rescale import downscale_to_float
+from recur_tpu.dsp.rescale import u8_thumbnail
 from recur_tpu.utils.video_io import read_y4m, write_y4m
 from recur_tpu.video.rnnca import Rnnca, RNNCA_HEIGHT, RNNCA_WIDTH
-
-
-def thumb(frame: np.ndarray, w: int, h: int) -> np.ndarray:
-    """[3, H, W] u8 → [3, h, w] u8 working-size thumbnail."""
-    out = np.empty((3, h, w), np.uint8)
-    for p in range(3):
-        out[p] = (downscale_to_float(frame[p], h, w) * 256).astype(np.uint8)
-    return out
 
 
 def main(argv=None) -> int:
@@ -49,7 +40,7 @@ def main(argv=None) -> int:
         for epoch in range(opt.epochs):
             prev = None
             for frame in read_y4m(opt.train_video):
-                t = thumb(frame, RNNCA_WIDTH, RNNCA_HEIGHT)
+                t = u8_thumbnail(frame, RNNCA_HEIGHT, RNNCA_WIDTH)
                 if prev is not None:
                     ca.train_frame_pair(prev, t)
                 prev = t

@@ -57,7 +57,7 @@ def main(argv=None) -> int:
             parts = raw.split(b"\n", opt.ignore_lines)
             raw = parts[-1] if len(parts) > opt.ignore_lines else b""
         text = alphabet.encode(raw)
-        if len(text) < max(3, opt.min_length):
+        if len(text) < max(3, opt.min_length, opt.ignore_first + 2):
             print(f"{path}: too short")
             continue
         import jax

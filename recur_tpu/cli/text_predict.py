@@ -263,8 +263,6 @@ def main(argv=None) -> int:
         start = 0
         if finished or (opt.epochs and epoch >= opt.epochs):
             break
-        if not opt.stop_after and not opt.epochs:
-            continue
     model.save(filename, backup=True)
     if opt.quiet < 2:
         print(f"saved {filename} at generation {model.generation}",

@@ -81,3 +81,13 @@ def load_pgm(path: str) -> np.ndarray:
     w, h, maxval = tokens
     i += 1
     return np.frombuffer(data[i:i + w * h], dtype=np.uint8).reshape(h, w)
+
+
+def u8_thumbnail(frame, h: int, w: int):
+    """[3, H, W] u8 → [3, h, w] u8 working-size thumbnail (shared by the
+    video players)."""
+    import numpy as np
+    out = np.empty((3, h, w), np.uint8)
+    for p in range(3):
+        out[p] = (downscale_to_float(frame[p], h, w) * 256).astype(np.uint8)
+    return out

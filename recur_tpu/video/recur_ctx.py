@@ -140,10 +140,18 @@ class RecurContext:
                 scale = int(rng.integers(1, scale_max + 1))
                 h, w = scale * OUTPUT_H, scale * OUTPUT_W
                 margin = 2 * scale
-                if WORKING_W - w - 2 * margin <= 0:
+                # the INPUT window spans (x-scale .. x-scale+12*scale,
+                # y-scale .. y-scale+10*scale); keep it inside the frame
+                # (the C reference reads strided out-of-patch bytes there,
+                # the numpy reshape cannot)
+                x_hi = min(WORKING_W - w - margin,
+                           WORKING_W - (INPUT_W + 2) * GAIN * scale + scale)
+                y_hi = min(WORKING_H - h - margin,
+                           WORKING_H - (INPUT_H + 2) * GAIN * scale + scale)
+                if x_hi <= margin or y_hi <= margin:
                     continue
-                x = margin + int(rng.integers(0, WORKING_W - w - 2 * margin))
-                y = margin + int(rng.integers(0, WORKING_H - h - 2 * margin))
+                x = int(rng.integers(margin, x_hi + 1))
+                y = int(rng.integers(margin, y_hi + 1))
                 if not mask[y:y + h, x:x + w].any():
                     mask[y:y + h, x:x + w] = True
                     self.trainers.append((x, y, scale))
@@ -281,7 +289,11 @@ def _recur_construct(cfg, params, hidden, quad_idx, seed, audio):
         new_hidden.append(fwd.hidden)
         out = fwd.output[:, :OUTPUT_SIZE]            # [n, OUTPUT_SIZE] raw
         if depth == 0:
-            root_out = jax.nn.sigmoid(out[0])
+            # RAW root output: recur_confabulate downscales net->output_layer
+            # unsigmoided into the seed, and the next construction applies
+            # the single sigmoid (context-recurse.c:306-330, 262) — a
+            # sigmoid here would compress the feedback to [0.5, 0.73]
+            root_out = out[0]
         if depth < DEPTH - 1:
             # children inputs: gather quadrant windows from parent outputs
             sub = jax.nn.sigmoid(out[:, quad_idx])   # [n, 4, N_VIDEO_FEATS]

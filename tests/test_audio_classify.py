@@ -148,3 +148,22 @@ class TestStats:
             w.add(x)
         assert abs(w.mean - 2.5) < 1e-9
         assert abs(w.variance - np.var(xs, ddof=0) * 4 / 4) < 1e-6
+
+
+def test_mfcc_features_feed():
+    """mfccs>0 configurations must produce mfccs(+intensity) features per
+    window — the binner always computes CLASSIFY_N_FFT_BINS bins and mfccs
+    selects DCT coefficients (gstclassify.c:962-968, pcm_to_features)."""
+    import numpy as np
+    from recur_tpu.audio.classify import AudioClassifier
+
+    rng = np.random.default_rng(0)
+    for intensity in (0, 1):
+        clf = AudioClassifier(classes="ab", n_channels=2, window_size=256,
+                              hidden_size=15, mfccs=13,
+                              intensity_feature=intensity,
+                              net_filename="/tmp/mfcc_test.net")
+        assert clf.n_raw_features == 13 + intensity
+        pcm = rng.normal(0, 1000, (2, 256 * 130)).astype(np.float32)
+        msgs = clf.feed(pcm)            # must not crash
+        assert clf.window_no > 0

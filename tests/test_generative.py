@@ -110,3 +110,51 @@ class TestRecurContext:
         assert frame2.shape == (3, 96, 128)
         # the constructor is stateful: frames differ
         assert not np.array_equal(frame, frame2)
+
+
+def test_parrot_dream_not_clipped():
+    """Dream output must be in sane s16 range, not 32768x-overdriven
+    full-scale clipping (the reference scales BOTH windows by 1/32768 and
+    restores 'doubly', gstparrot.c:287, 566-575)."""
+    import numpy as np
+    from recur_tpu.audio.parrot import Parrot
+
+    par = Parrot(n_channels=1, hidden_size=15, rng_seed=2,
+                 net_filename="/tmp/parrot_dream.net")
+    rng = np.random.default_rng(0)
+    pcm = (3000 * np.sin(np.arange(16000) * 0.05)).astype(np.float32)[None]
+    par.train(pcm)
+    out = par.dream(4096)
+    # an untrained-ish net dreams quiet-to-moderate audio; the overdrive
+    # bug produced ~100% full-scale samples
+    frac_clipped = np.mean(np.abs(out) >= 32767)
+    assert frac_clipped < 0.5, frac_clipped
+
+
+def test_recur_trainer_windows_in_bounds_all_seeds():
+    """Trainer input windows must stay inside the frame for any seed
+    (scale>=2 placements used to run past the edge and crash the
+    downscale reshape)."""
+    from recur_tpu.video.recur_ctx import (RecurContext, GAIN, INPUT_W,
+                                           INPUT_H, WORKING_H, WORKING_W)
+
+    for seed in range(12):
+        ctx = RecurContext(rng_seed=seed)
+        for (x, y, scale) in ctx.trainers:
+            assert x - scale >= 0 and y - scale >= 0, (seed, x, y, scale)
+            assert x - scale + (INPUT_W + 2) * GAIN * scale <= WORKING_W, \
+                (seed, x, y, scale)
+            assert y - scale + (INPUT_H + 2) * GAIN * scale <= WORKING_H, \
+                (seed, x, y, scale)
+
+
+def test_recur_train_frame_pair_seed_zero():
+    """Seed 0 used to crash train_frame_pair with an out-of-bounds patch."""
+    import numpy as np
+    from recur_tpu.video.recur_ctx import RecurContext, WORKING_H, WORKING_W
+
+    ctx = RecurContext(rng_seed=0)
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 255, (3, WORKING_H, WORKING_W)).astype(np.uint8)
+    b = rng.integers(0, 255, (3, WORKING_H, WORKING_W)).astype(np.uint8)
+    ctx.train_frame_pair(a, b)          # must not raise
