@@ -385,6 +385,9 @@ class Trainer:
         # Welford per class, split by whether the class was the target
         pstats = [{x: (cstats.Welford(), cstats.Welford())
                    for x in g.classes} for g in groups]
+        # true mean cross-entropy: Welford of -log2 p(target) per group
+        # (averaging p first and logging after would be Jensen-biased low)
+        xe_stats = [cstats.Welford() for _ in groups]
         # AUC targets: the second class for binary groups, all otherwise
         auc_lists: dict[tuple[int, str], list] = {}
         for gi, g in enumerate(groups):
@@ -417,6 +420,9 @@ class Trainer:
                                 continue
                             right = x == tgt
                             pstats[gi][x][right].add(p)
+                            if right:
+                                xe_stats[gi].add(
+                                    -np.log2(max(float(p), 1e-9)))
                             lst = auc_lists.get((gi, x))
                             if lst is not None:
                                 lst.append((p, right))
@@ -426,6 +432,9 @@ class Trainer:
         result["windows"] = sum(sum(r.values()) for r in test_runs)
         result["test_windows_per_second"] = (
             windows_done * C / max(elapsed, 1e-9))
+        live = [w for w in xe_stats if w.n]
+        result["xe_bits"] = (sum(w.mean for w in live) / len(live)
+                             if live else float("nan"))
         return result
 
     def evaluate_test(self, test_scores, test_runs, pstats, auc_lists

@@ -281,8 +281,7 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
                        noise_key=nk if hyper.use_noise else None,
                        presynaptic_noise=presynaptic_noise)
     state = advance_history(state, fwd.input_row)
-    state = RnnState(hidden=fwd.hidden, history=state.history,
-                     head=state.head)
+    state = dataclasses.replace(state, hidden=fwd.hidden)
 
     logits = fwd.output[:, :cfg.output_size]
     p = jax.nn.softmax(logits, axis=-1)

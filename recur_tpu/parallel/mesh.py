@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recur_tpu import engine
-from recur_tpu.nn import BpttState, RnnConfig, RnnParams, RnnState
+from recur_tpu.nn import (BpttState, Flag, RnnConfig, RnnParams,
+                          RnnState)
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
@@ -58,7 +59,7 @@ def _bptt_specs(cfg: RnnConfig) -> BpttState:
     mat_ih = P(None, "model")
     mat_ho = P("model", None)
     b = P(None, None) if cfg.has_bottom else None
-    aux = bool(cfg.flags & 2048)
+    aux = bool(cfg.flags & Flag.AUX_ARRAYS)
     return BpttState(
         ih_momentum=mat_ih, ho_momentum=mat_ho,
         ih_aux=mat_ih if aux else None, ho_aux=mat_ho if aux else None,
@@ -114,8 +115,11 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
     # hidden:[data,model] that mismatch in_shardings on the next call)
     out_shardings = (in_shardings[0], in_shardings[1], in_shardings[2],
                      NamedSharding(mesh, P()))
+    # donate the carried training state: the inner char_train_chunk's
+    # donate_argnums is dropped when it inlines into this outer trace, and
+    # without it every chunk double-buffers params/optimizer/history
     jitted = jax.jit(fn, in_shardings=in_shardings,
-                     out_shardings=out_shardings)
+                     out_shardings=out_shardings, donate_argnums=(0, 1, 2))
 
     def checked(params, bptt, state, *rest):
         # fail loudly before jit's opaque pytree/sharding mismatch
@@ -148,7 +152,7 @@ def _mh_bptt_specs(cfg: RnnConfig) -> BpttState:
     mat_ih = P(None, "model")
     mat_ho = P(None, "model")
     b = P(None, None) if cfg.has_bottom else None
-    aux = bool(cfg.flags & 2048)
+    aux = bool(cfg.flags & Flag.AUX_ARRAYS)
     return BpttState(
         ih_momentum=mat_ih, ho_momentum=mat_ho,
         ih_aux=mat_ih if aux else None, ho_aux=mat_ho if aux else None,
@@ -184,7 +188,7 @@ def sharded_multihead_chunk(mesh: Mesh, cfg: RnnConfig, hyper,
 
     out_shardings = (pspec, bspec, sspec, rep)
     return jax.jit(fn, in_shardings=in_shardings,
-                   out_shardings=out_shardings)
+                   out_shardings=out_shardings, donate_argnums=(0, 1, 2))
 
 
 def shard_multihead_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
@@ -230,8 +234,7 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
             x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
             fwd = forward_step(cfg, params, state.hidden, x)
             state = advance_history(state, fwd.input_row)
-            state = RnnState(hidden=fwd.hidden, history=state.history,
-                             head=state.head)
+            state = _dc.replace(state, hidden=fwd.hidden)
             o_error, _, p_t = softmax_best_guess_error(
                 fwd.output[:, :cfg.output_size], y_tok)
             o_error = jnp.pad(
@@ -268,4 +271,6 @@ def shard_map_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
         in_specs=(pspec, bspec, sspec, P("data", None), P(), P(), P()),
         out_specs=(pspec, bspec, sspec, P()),
         check_vma=False)
+    # no donation here: this is the hand-written cross-check twin, and its
+    # callers (tests, dryrun) reuse the same arrays to compare paths
     return jax.jit(fn)

@@ -36,6 +36,7 @@ def bench_rnnca(reps: int = 30):
     prev = rng.integers(0, 255, (3, ca.h, ca.w)).astype(np.uint8)
     # generation (the per-pixel CA: one batched forward over 13,824 pixels)
     out = ca.step_ca()
+    sync(out)                      # warm-up must not bleed into the timing
     t0 = time.perf_counter()
     for _ in range(reps):
         out = ca.step_ca()
@@ -43,6 +44,7 @@ def bench_rnnca(reps: int = 30):
     gen_fps = reps / (time.perf_counter() - t0)
     # training (200 trainers per frame-pair)
     ca.train_frame_pair(prev, frame)
+    sync(ca.params.ih)
     t0 = time.perf_counter()
     for _ in range(reps):
         ca.train_frame_pair(prev, frame)
@@ -60,12 +62,14 @@ def bench_recur(reps: int = 30):
     frame = rng.integers(0, 255, (3, h, w)).astype(np.uint8)
     prev = rng.integers(0, 255, (3, h, w)).astype(np.uint8)
     out = ctx.confabulate()
+    sync(ctx.params.ih)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = ctx.confabulate()
     sync(out)
     gen_fps = reps / (time.perf_counter() - t0)
     ctx.train_frame_pair(prev, frame)
+    sync(ctx.params.ih)
     t0 = time.perf_counter()
     for _ in range(reps):
         ctx.train_frame_pair(prev, frame)

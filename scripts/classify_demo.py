@@ -116,11 +116,10 @@ def main(argv=None):
         if result["auc"] > 0.99 and i >= 2:
             break
     elapsed = time.time() - t0
-    # mean test XE over targeted windows, from the opinion errors: use the
-    # per-class right-probability means to report -log2(p_target)
-    g0 = result["groups"][0]
-    ps = [c.get("right_p", 0.0) for c in g0["classes"].values()]
-    xe = float(np.mean([-np.log2(max(p, 1e-9)) for p in ps]))
+    # true mean test XE over targeted windows (Welford of -log2 p_target in
+    # the Trainer; logging the mean probability instead would be
+    # Jensen-biased optimistic)
+    xe = float(result["xe_bits"])
     print(json.dumps({
         "metric": "classify-train end-to-end (3-class synthetic corpus)",
         "auc": round(result["auc"], 4),

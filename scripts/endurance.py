@@ -91,6 +91,11 @@ def main(argv=None) -> int:
             json.dump({"target": opt.target, "legs": legs,
                        "elapsed": round(time.time() - t_start, 1)}, f,
                       indent=1)
+        if new_gen > gen:
+            # forward progress resets the retry budget even if the leg
+            # crashed — a run whose legs routinely die to tunnel drops but
+            # keep advancing must never abort (that is the whole point)
+            retries = 0
         if r.returncode != 0:
             retries += 1
             print(f"endurance: leg died rc={r.returncode} at gen {new_gen}; "
@@ -99,8 +104,6 @@ def main(argv=None) -> int:
         elif new_gen <= gen:
             retries += 1        # no forward progress — avoid a hot loop
             time.sleep(5)
-        else:
-            retries = 0
 
     print(json.dumps({"done": True, "generations": last_generation(net_path),
                       "legs": len(legs),

@@ -61,6 +61,9 @@ def test_trainer_end_to_end(tmp_path):
     assert r["windows"] > 100
     assert r["auc"] > 0.8, r
     assert r["accuracy"] > 0.8, r
+    # true mean XE (Welford of -log2 p_target): finite, and a learnable
+    # 2-class task must beat the 1-bit prior
+    assert 0.0 < r["xe_bits"] < 1.0, r["xe_bits"]
     # record nets were saved
     best = [f for f in os.listdir(tmp_path) if "best-" in f]
     assert best, os.listdir(tmp_path)
