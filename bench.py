@@ -122,13 +122,12 @@ def main():
     if jax.default_backend() != "cpu":
         # large stream counts and long scan chunks amortise per-op overhead;
         # bf16 history halves the HBM traffic of the backward walk (entropy
-        # curves match f32).  Swept S x T: throughput peaks near S~3k and
-        # grows slowly with T (S=4096 regresses - HBM pressure).  Both BPTT
-        # gradient formulations are measured (buffered einsum vs two-pass
-        # accumulation; see ops/core.py).
+        # curves match f32).  Swept S x T: throughput peaks near S~3.5k for
+        # the buffered form.  All three BPTT gradient formulations are
+        # measured (see ops/core.py's landscape note: buffered big-einsum >
+        # factored one-hot > two-pass replay on this chip).
         configs = ((3072, 4096, jnp.bfloat16, "buffered"),
                    (3072, 4096, jnp.bfloat16, "twopass"),
-                   (3072, 4096, jnp.bfloat16, "factored"),
                    (3584, 4096, jnp.bfloat16, "buffered"),
                    (3584, 4096, jnp.bfloat16, "factored"),
                    (4096, 4096, jnp.bfloat16, "factored"),
