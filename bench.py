@@ -88,13 +88,21 @@ def classify_compute_bench() -> float:
     fn = jax.jit(step)
     params, bptt, state = clf.params, clf.bptt, clf.state
     key = jax.random.PRNGKey(0)
+    # Pipelined dispatch: enqueue B chained blocks, sync once (device->host
+    # read; block_until_ready can return early on the axon transport).  A
+    # streaming deployment feeds blocks back-to-back the same way — the
+    # ~26ms tunnel readback latency is not part of the steady-state rate.
+    params, bptt, state, stats = fn(params, bptt, state, frames, key)
+    float(stats.error)
+    B = 8 if jax.default_backend() != "cpu" else 2
     times = []
-    for i in range(6):
+    for i in range(4):
         t0 = time.perf_counter()
-        params, bptt, state, stats = fn(params, bptt, state, frames, key)
-        float(stats.error)   # device->host read = reliable sync (axon)
+        for _ in range(B):
+            params, bptt, state, stats = fn(params, bptt, state, frames, key)
+        float(stats.error)
         times.append(time.perf_counter() - t0)
-    dt = sorted(times[2:])[len(times[2:]) // 2]
+    dt = sorted(times[1:])[len(times[1:]) // 2] / B
     return T * C / dt
 
 
@@ -193,9 +201,10 @@ def main():
             "classify_windows_per_sec": round(classify, 0),
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),
-            "classify_note": "compute-only (device-resident PCM frames): "
-                "window+FFT+40 log bins+h=199 fwd+depth-30 BPTT+apply per "
-                "window, 1000 channels; C baseline bench_classify_baseline.c",
+            "classify_note": "compute-only (device-resident PCM frames), "
+                "pipelined steady-state: window+FFT+40 log bins+h=199 fwd+"
+                "depth-30 BPTT+apply per window, 1000 channels; C baseline "
+                "bench_classify_baseline.c",
         },
     }))
 
