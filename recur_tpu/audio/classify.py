@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+from collections import deque
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -325,7 +326,8 @@ class AudioClassifier:
                  basename: str = "classify", net_filename: Optional[str] = None,
                  force_load: bool = False, log_file: Optional[str] = None,
                  audio_rate: int = CLASSIFY_RATE,
-                 window_type: WindowType = WindowType.HANN):
+                 window_type: WindowType = WindowType.HANN,
+                 pipeline_depth: int = 1):
         self.groups = parse_classes_string(classes)
         self.classes_string = classes
         self.n_channels = n_channels
@@ -411,9 +413,17 @@ class AudioClassifier:
         self._pcm_tail = np.zeros((n_channels, self.window_size // 2),
                                   np.float32)
         self._pending = np.zeros((n_channels, 0), np.float32)
-        self._prev_features = np.zeros(
+        # Δ-feature carry lives on the DEVICE: reading it back per block
+        # would cost a full device-link round trip each time
+        self._prev_features = jnp.zeros(
             (max(self.delta_features, 1), n_channels, self.n_raw_features),
-            np.float32)
+            jnp.float32)
+        # training blocks whose stats have been launched but not read back;
+        # drained down to pipeline_depth-1 entries after each block so up to
+        # pipeline_depth device calls stay in flight (overlapping the
+        # device-link readback latency; see bench.py's classify note)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._pending_stats: deque = deque()
         self.events: list[ClassEvent] = []
         self._current_targets = np.full(
             (n_channels, len(self.groups)), -1, np.int32)
@@ -559,7 +569,9 @@ class AudioClassifier:
         """Process any buffered remainder (end of stream)."""
         half = self.window_size // 2
         n = self._pending.shape[1] // half
-        return self._run_block(n) if n else []
+        out = self._run_block(n) if n else []
+        self.drain_stats()
+        return out
 
     BLOCK_WINDOWS = 128
 
@@ -577,7 +589,9 @@ class AudioClassifier:
         tail = jnp.asarray(self._pcm_tail)[None]     # [1, C, half]
         prev = jnp.concatenate([tail, halves[:-1]], axis=0)
         frames = jnp.concatenate([prev, halves], axis=-1)  # [T, C, window]
-        self._pcm_tail = np.array(halves[-1])
+        # the carry tail is a slice of the HOST pcm we just shipped — taking
+        # it from `chunks` avoids a device->host round trip per block
+        self._pcm_tail = np.asarray(chunks[:, -half:], np.float32)
         if self.training:
             self._train_frames(frames)
             return []
@@ -604,13 +618,14 @@ class AudioClassifier:
             # successive discrete time-differences, one block per order
             ds = [raw]
             cur = raw
+            prev_f = jnp.asarray(self._prev_features)
             for order in range(self.delta_features):
-                prev = jnp.concatenate(
-                    [jnp.asarray(self._prev_features[order])[None], cur[:-1]],
-                    axis=0)
-                self._prev_features[order] = np.asarray(cur[-1])
+                prev = jnp.concatenate([prev_f[order][None], cur[:-1]],
+                                       axis=0)
+                prev_f = prev_f.at[order].set(cur[-1])
                 cur = cur - prev
                 ds.append(cur)
+            self._prev_features = prev_f   # stays device-resident, no sync
             feats = jnp.concatenate(ds, axis=-1)
         feats = (feats - jnp.asarray(self.feature_offsets)) \
             * jnp.asarray(self.feature_scales)
@@ -639,13 +654,32 @@ class AudioClassifier:
             feats, jnp.asarray(targets), train_p, self.error_weight,
             jnp.asarray(live), self._next_key(), jnp.float32(self.momentum),
             jnp.float32(self.net.cfg.presynaptic_noise))
+        # defer the device->host stats reads: with pipeline_depth > 1 the
+        # next block(s) are enqueued before this one's results are fetched,
+        # hiding the device-link readback latency (balanced-training counts
+        # then lag pipeline_depth blocks — same per-chunk approximation
+        # class as the documented per-chunk probability update)
+        # jnp.copy: the bptt buffers are donated to the NEXT block's call,
+        # so a raw reference would be read after deletion
+        self._pending_stats.append(
+            (self.window_no, jnp.copy(self.bptt.generation), stats))
+        while len(self._pending_stats) >= max(1, self.pipeline_depth):
+            self._log_oldest_stats()
+
+    def _log_oldest_stats(self):
+        window_no, generation, stats = self._pending_stats.popleft()
         self.seen_counts += np.asarray(stats.seen, np.float64)
         self.used_counts += np.asarray(stats.used, np.float64)
         trained = max(float(stats.trained), 1.0)
-        self.log.log_int("window", self.window_no)
-        self.log.log_int("generation", self.generation)
+        self.log.log_int("window", window_no)
+        self.log.log_int("generation", int(generation))
         self.log.log_float("error", float(stats.error) / trained)
         self.log.log_float("correct", float(stats.correct) / trained)
+
+    def drain_stats(self):
+        """Sync: fetch and log every in-flight training block's stats."""
+        while self._pending_stats:
+            self._log_oldest_stats()
 
     def _opine_frames(self, frames) -> list[dict]:
         T = frames.shape[0]
@@ -691,14 +725,16 @@ class AudioClassifier:
     def reset_state(self):
         """Forget hidden state/history between files (the element gets a
         stream restart)."""
+        self.drain_stats()
         self.state = nn.new_state(self.net.cfg, self.n_channels)
         self._pcm_tail[:] = 0
         self._pending = np.zeros((self.n_channels, 0), np.float32)
-        self._prev_features[:] = 0
+        self._prev_features = jnp.zeros_like(self._prev_features)
         self.window_no = 0
         self._current_targets[:] = -1
 
     def save(self, filename: Optional[str] = None):
+        self.drain_stats()
         self.net.params = self.params
         self.net.generation = self.generation
         self.net.learn_rate = self.learn_rate

@@ -110,6 +110,10 @@ CLASSIFY_PROPERTIES: tuple[Prop, ...] = (
     Prop("balanced-training", float, 0.0,
          "bias toward training rare classes",
          timing=IMMEDIATE, attr="balanced_training_bias"),
+    Prop("pipeline-depth", int, 1,
+         "training blocks in flight before stats are read back (amortises "
+         "device-link latency; 1 = synchronous)",
+         timing=IMMEDIATE, rng=(1, 64)),
 )
 
 

@@ -85,8 +85,8 @@ def estimate_feature_normalisation(classifier: AudioClassifier,
     saved_prev = classifier._prev_features
     saved_off = classifier.feature_offsets.copy()
     saved_scale = classifier.feature_scales.copy()
-    classifier._prev_features = np.zeros(
-        (saved_prev.shape[0], 1, saved_prev.shape[2]), np.float32)
+    classifier._prev_features = jnp.zeros(
+        (saved_prev.shape[0], 1, saved_prev.shape[2]), jnp.float32)
     classifier.feature_offsets[:] = 0.0
     classifier.feature_scales[:] = 1.0
     try:

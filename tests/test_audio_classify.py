@@ -94,6 +94,31 @@ class TestAudioClassifier:
         assert "channel 0, group 0 a" in m and "error" in m
         assert 0.0 <= m["channel 0, group 0 a"] <= 1.0
 
+    def test_pipeline_depth_equivalence(self):
+        """pipeline_depth only changes WHEN stats are read back, never the
+        training arithmetic or the logged values (deferred-readback mode for
+        high-latency device links; delta features exercise the
+        device-resident carry)."""
+        import io
+
+        def run(depth):
+            clf = self.make(delta_features=1, pipeline_depth=depth)
+            clf.log.f = io.StringIO()        # capture the kv log
+            clf.set_target_string("c0t0:a c1t0:b")
+            pcm = np.stack([tone_pcm(500, RATE * 6, seed=1),
+                            tone_pcm(2500, RATE * 6, seed=2)])
+            clf.feed(pcm)
+            clf.flush()
+            assert not clf._pending_stats    # flush drained everything
+            return (clf.log.f.getvalue(), clf.seen_counts.copy(),
+                    np.asarray(clf.params.ih))
+
+        log1, seen1, w1 = run(1)
+        log4, seen4, w4 = run(4)
+        assert log1 == log4
+        np.testing.assert_array_equal(seen1, seen4)
+        np.testing.assert_array_equal(w1, w4)
+
     def test_balanced_training_counts(self):
         clf = self.make(balanced_training_bias=1.0)
         clf.set_target_string("c0t0:a c1t0:a")   # only class a seen
