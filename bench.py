@@ -72,7 +72,7 @@ def classify_compute_bench() -> float:
                              net_filename="/tmp/bench_classify.net")
     cfg = clf.net.cfg
     binner, groups, hyper = clf.binner, tuple(clf.groups), clf.hyper
-    train_p = jnp.ones(cfg.o_size, jnp.float32)
+    seen0 = jnp.zeros(cfg.o_size, jnp.float32)
     live = jnp.ones(T, bool)
     rng = np.random.default_rng(0)
     targets = jnp.asarray(rng.integers(0, 2, (T, C, 1)), jnp.int32)
@@ -82,7 +82,7 @@ def classify_compute_bench() -> float:
         feats = binner.log_freq_bins(frames)
         return ac.classify_train_windows(
             cfg, hyper, groups, params, bptt, state, feats, targets,
-            train_p, clf.error_weight, live, key,
+            seen0, jnp.float32(0.0), clf.error_weight, live, key,
             jnp.float32(0.95), jnp.float32(0.0))
 
     fn = jax.jit(step)

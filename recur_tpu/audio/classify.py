@@ -255,24 +255,33 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))
 def classify_train_windows(cfg, hyper, groups, params, bptt, state,
-                           features, targets, train_p, error_weight,
-                           window_live, key, momentum_target,
+                           features, targets, seen_counts, balance_bias,
+                           error_weight, window_live, key, momentum_target,
                            presynaptic_noise):
     """Scan over T windows.  features: [T, C, F]; targets: [T, C, G];
-    window_live: [T] bool."""
+    window_live: [T] bool.
+
+    seen_counts [o_size] are carried through the scan so the
+    balanced-training keep-probabilities `(1 - seen/total)^bias` refresh
+    every window from the running counts, exactly as the reference
+    recomputes train_p at the top of each window (gstclassify.c:2205-2215).
+    bias = 0 yields p^0 = 1 everywhere (balancing off)."""
     T = features.shape[0]
     keys = jax.random.split(key, T)
 
     def body(carry, inp):
-        params, bptt, state = carry
+        params, bptt, state, seen = carry
         f, t, live, k = inp
+        scale = 1.0 / (seen.sum() + 1.0)
+        train_p = (1.0 - seen * scale) ** balance_bias
         params, bptt, state, stats = classify_window_step(
             cfg, hyper, groups, params, bptt, state, f, t, train_p,
             error_weight, live, k, momentum_target, presynaptic_noise)
-        return (params, bptt, state), stats
+        return (params, bptt, state, seen + stats.seen), stats
 
-    (params, bptt, state), stats = jax.lax.scan(
-        body, (params, bptt, state), (features, targets, window_live, keys))
+    (params, bptt, state, _), stats = jax.lax.scan(
+        body, (params, bptt, state, seen_counts),
+        (features, targets, window_live, keys))
     return params, bptt, state, jax.tree.map(lambda x: x.sum(0), stats)
 
 
@@ -640,18 +649,16 @@ class AudioClassifier:
         live = (np.arange(self.window_no, self.window_no + T)
                 >= self.ignored_windows)
         self.window_no += T
-        # balanced-training probabilities from running counts (per chunk)
-        o_size = self.net.cfg.o_size
-        if self.balanced_training_bias:
-            scale = 1.0 / (self.seen_counts.sum() + 1.0)
-            p = (1.0 - self.seen_counts * scale) ** self.balanced_training_bias
-            train_p = jnp.asarray(p.astype(np.float32))
-        else:
-            train_p = jnp.ones(o_size, jnp.float32)
+        # balanced-training counts: the scan carries them per window; the
+        # host master counts (float64, accumulated in _log_oldest_stats)
+        # seed each block — with pipeline_depth > 1 the seed lags the
+        # blocks still in flight
         self.params, self.bptt, self.state, stats = classify_train_windows(
             self.net.cfg, self.hyper, tuple(self.groups),
             self.params, self.bptt, self.state,
-            feats, jnp.asarray(targets), train_p, self.error_weight,
+            feats, jnp.asarray(targets),
+            jnp.asarray(self.seen_counts.astype(np.float32)),
+            jnp.float32(self.balanced_training_bias), self.error_weight,
             jnp.asarray(live), self._next_key(), jnp.float32(self.momentum),
             jnp.float32(self.net.cfg.presynaptic_noise))
         # defer the device->host stats reads: with pipeline_depth > 1 the

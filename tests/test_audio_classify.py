@@ -128,6 +128,12 @@ class TestAudioClassifier:
         assert clf.seen_counts[0] > 0
         assert clf.seen_counts[1] == 0
         assert clf.used_counts[0] <= clf.seen_counts[0]
+        # the keep-probabilities refresh per WINDOW from the carried counts
+        # (gstclassify.c:2205-2215): with only class a seen, p_a collapses
+        # like 1/(seen_a+1) within the very first block, so most windows
+        # must already be skipped — a per-chunk implementation would have
+        # trained all of them (train_p starts at 1 with zero counts)
+        assert clf.used_counts[0] < clf.seen_counts[0] * 0.2
 
     def test_save_reload(self, tmp_path):
         clf = self.make(net_filename=str(tmp_path / "c.net"))
