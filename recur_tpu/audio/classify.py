@@ -433,6 +433,7 @@ class AudioClassifier:
         # device-link readback latency; see bench.py's classify note)
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._pending_stats: deque = deque()
+        self._pending_opinions: deque = deque()
         self.events: list[ClassEvent] = []
         self._current_targets = np.full(
             (n_channels, len(self.groups)), -1, np.int32)
@@ -580,6 +581,7 @@ class AudioClassifier:
         n = self._pending.shape[1] // half
         out = self._run_block(n) if n else []
         self.drain_stats()
+        out.extend(self.drain_opinions())
         return out
 
     BLOCK_WINDOWS = 128
@@ -689,6 +691,11 @@ class AudioClassifier:
             self._log_oldest_stats()
 
     def _opine_frames(self, frames) -> list[dict]:
+        """Launch inference on a block; emit opinion dicts.  With
+        pipeline_depth > 1 the device results are read back one or more
+        blocks behind the launches (same latency-hiding as training), so
+        feed() returns older blocks' messages — order preserved, the tail
+        arriving from flush()."""
         T = frames.shape[0]
         feats = self._features_for_frames(frames)
         targets = targets_for_windows(self.events, self.window_no, T,
@@ -698,12 +705,23 @@ class AudioClassifier:
             self.net.cfg, tuple(self.groups), self.params, self.state.hidden,
             feats)
         self.state = dataclasses.replace(self.state, hidden=hidden)
+        self._pending_opinions.append(
+            (self.window_no, targets, probs, winners))
+        self.window_no += T
+        out = []
+        while len(self._pending_opinions) >= max(1, self.pipeline_depth):
+            out.extend(self._render_oldest_opinions())
+        return out
+
+    def _render_oldest_opinions(self) -> list[dict]:
+        window_no, targets, probs, winners = self._pending_opinions.popleft()
+        T = probs.shape[0]
         probs = np.asarray(probs)      # [T, C, G, o_size]
         winners = np.asarray(winners)  # [T, C, G]
         window_to_secs = self.window_size * 0.5 / self.rate
         out = []
         for t in range(T):
-            w = self.window_no + t
+            w = window_no + t
             if w < self.ignored_windows:
                 continue
             msg = {"time": w * window_to_secs - self.lag}
@@ -726,13 +744,20 @@ class AudioClassifier:
                         n_err += 1
             msg["error"] = err_sum / n_err if n_err else 0.0
             out.append(msg)
-        self.window_no += T
+        return out
+
+    def drain_opinions(self) -> list[dict]:
+        """Sync: render every in-flight inference block's messages."""
+        out = []
+        while self._pending_opinions:
+            out.extend(self._render_oldest_opinions())
         return out
 
     def reset_state(self):
         """Forget hidden state/history between files (the element gets a
         stream restart)."""
         self.drain_stats()
+        self._pending_opinions.clear()   # stale stream's results
         self.state = nn.new_state(self.net.cfg, self.n_channels)
         self._pcm_tail[:] = 0
         self._pending = np.zeros((self.n_channels, 0), np.float32)

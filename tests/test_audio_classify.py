@@ -110,14 +110,21 @@ class TestAudioClassifier:
             clf.feed(pcm)
             clf.flush()
             assert not clf._pending_stats    # flush drained everything
+            # inference path: deferred emission returns the same messages
+            clf.training = False
+            pcm2 = np.stack([tone_pcm(500, RATE * 3, seed=3),
+                             tone_pcm(2500, RATE * 3, seed=4)])
+            msgs = clf.feed(pcm2) + clf.flush()
+            assert not clf._pending_opinions
             return (clf.log.f.getvalue(), clf.seen_counts.copy(),
-                    np.asarray(clf.params.ih))
+                    np.asarray(clf.params.ih), msgs)
 
-        log1, seen1, w1 = run(1)
-        log4, seen4, w4 = run(4)
+        log1, seen1, w1, msgs1 = run(1)
+        log4, seen4, w4, msgs4 = run(4)
         assert log1 == log4
         np.testing.assert_array_equal(seen1, seen4)
         np.testing.assert_array_equal(w1, w4)
+        assert msgs1 == msgs4
 
     def test_balanced_training_counts(self):
         clf = self.make(balanced_training_bias=1.0)
