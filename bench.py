@@ -82,7 +82,7 @@ def classify_compute_bench() -> float:
         feats = binner.log_freq_bins(frames)
         return ac.classify_train_windows(
             cfg, hyper, groups, params, bptt, state, feats, targets,
-            seen0, jnp.float32(0.0), clf.error_weight, live, key,
+            seen0, jnp.float32(0.0), clf.error_weight, live, live, key,
             jnp.float32(0.95), jnp.float32(0.0))
 
     fn = jax.jit(step)

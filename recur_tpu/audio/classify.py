@@ -256,8 +256,8 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))
 def classify_train_windows(cfg, hyper, groups, params, bptt, state,
                            features, targets, seen_counts, balance_bias,
-                           error_weight, window_live, key, momentum_target,
-                           presynaptic_noise):
+                           error_weight, window_live, window_real, key,
+                           momentum_target, presynaptic_noise):
     """Scan over T windows.  features: [T, C, F]; targets: [T, C, G];
     window_live: [T] bool.
 
@@ -265,42 +265,59 @@ def classify_train_windows(cfg, hyper, groups, params, bptt, state,
     balanced-training keep-probabilities `(1 - seen/total)^bias` refresh
     every window from the running counts, exactly as the reference
     recomputes train_p at the top of each window (gstclassify.c:2205-2215).
-    bias = 0 yields p^0 = 1 everywhere (balancing off)."""
+    bias = 0 yields p^0 = 1 everywhere (balancing off).
+
+    window_real: [T] bool.  False marks PADDING windows (a flushed tail
+    block padded up to BLOCK_WINDOWS so every device call compiles once):
+    the step runs but its entire effect — params, optimizer state,
+    hidden/history, generation, conditioning — is discarded, as if the
+    window never existed."""
     T = features.shape[0]
     keys = jax.random.split(key, T)
 
     def body(carry, inp):
         params, bptt, state, seen = carry
-        f, t, live, k = inp
+        f, t, live, real, k = inp
         scale = 1.0 / (seen.sum() + 1.0)
         train_p = (1.0 - seen * scale) ** balance_bias
-        params, bptt, state, stats = classify_window_step(
+        new_p, new_b, new_s, stats = classify_window_step(
             cfg, hyper, groups, params, bptt, state, f, t, train_p,
-            error_weight, live, k, momentum_target, presynaptic_noise)
+            error_weight, live & real, k, momentum_target,
+            presynaptic_noise)
+        sel = lambda n, o: jnp.where(real, n, o)
+        params = jax.tree.map(sel, new_p, params)
+        bptt = jax.tree.map(sel, new_b, bptt)
+        state = jax.tree.map(sel, new_s, state)
         return (params, bptt, state, seen + stats.seen), stats
 
     (params, bptt, state, _), stats = jax.lax.scan(
         body, (params, bptt, state, seen_counts),
-        (features, targets, window_live, keys))
+        (features, targets, window_live, window_real, keys))
     return params, bptt, state, jax.tree.map(lambda x: x.sum(0), stats)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def classify_opine_windows(cfg, groups, params, hidden, features):
+def classify_opine_windows(cfg, groups, params, hidden, features,
+                           window_real):
     """Inference over T windows (emit_opinions, gstclassify.c:2259-2291):
-    returns per-window per-channel per-group probabilities and winners."""
+    returns per-window per-channel per-group probabilities and winners.
+    window_real: [T] bool — False marks padding windows (flushed tail
+    blocks padded to a fixed shape) whose hidden-state advance is
+    discarded; their probs/winners rows are garbage the caller drops."""
     gmask, goff, gn = _group_masks(cfg, groups)
 
-    def body(h, f):
+    def body(h, inp):
+        f, real = inp
         fwd = forward_step(cfg, params, h, f)
         logits = fwd.output[:, :cfg.o_size]
         lg = jnp.where(gmask[None, :, :] > 0, logits[:, None, :], -jnp.inf)
         p = jax.nn.softmax(lg, axis=-1)
         p = jnp.where(gmask[None, :, :] > 0, p, 0.0)
         winner = jnp.argmax(lg, axis=-1) - goff[None, :]
-        return fwd.hidden, (p, winner)
+        return jnp.where(real, fwd.hidden, h), (p, winner)
 
-    hidden, (probs, winners) = jax.lax.scan(body, hidden, features)
+    hidden, (probs, winners) = jax.lax.scan(body, hidden,
+                                            (features, window_real))
     return hidden, probs, winners
 
 
@@ -590,12 +607,24 @@ class AudioClassifier:
         half = self.window_size // 2
         chunks, self._pending = (self._pending[:, :n_windows * half],
                                  self._pending[:, n_windows * half:])
+        # A short tail (flush) is padded up to BLOCK_WINDOWS with silence
+        # marked not-real, so EVERY device call has the block shape — one
+        # compile total instead of one per distinct tail length (each TPU
+        # compile costs tens of seconds)
+        n_real = n_windows
+        T = max(n_windows, self.BLOCK_WINDOWS)
+        if n_windows < T:
+            pad = np.zeros((self.n_channels, (T - n_windows) * half),
+                           chunks.dtype)
+            chunks_padded = np.concatenate([chunks, pad], axis=1)
+        else:
+            chunks_padded = chunks
         # Ship the raw PCM to the device ONCE and assemble the 50%-overlapped
         # [T, C, window] frames there — halves the host->device volume and
         # avoids the 2x window duplication (the transfer, not the FFT, is
         # the bottleneck on tunneled TPUs).
         halves = jnp.moveaxis(
-            jnp.asarray(chunks).reshape(self.n_channels, n_windows, half),
+            jnp.asarray(chunks_padded).reshape(self.n_channels, T, half),
             1, 0)                                    # [T, C, half]
         tail = jnp.asarray(self._pcm_tail)[None]     # [1, C, half]
         prev = jnp.concatenate([tail, halves[:-1]], axis=0)
@@ -603,15 +632,21 @@ class AudioClassifier:
         # the carry tail is a slice of the HOST pcm we just shipped — taking
         # it from `chunks` avoids a device->host round trip per block
         self._pcm_tail = np.asarray(chunks[:, -half:], np.float32)
+        real = np.arange(T) < n_real
         if self.training:
-            self._train_frames(frames)
+            self._train_frames(frames, real, n_real)
             return []
-        return self._opine_frames(frames)
+        return self._opine_frames(frames, real, n_real)
 
-    def _features_for_frames(self, frames) -> jax.Array:
+    def _features_for_frames(self, frames, n_real: Optional[int] = None) \
+            -> jax.Array:
         """[T, C, window] → [T, C, n_features] with Δ features and
-        normalisation (pcm_to_features, gstclassify.c:1983-2051)."""
+        normalisation (pcm_to_features, gstclassify.c:1983-2051).
+        n_real: index of the last real (non-padding) window + 1; the
+        Δ-feature carry is taken from there, not from a padded row."""
         T, C, _ = frames.shape
+        if n_real is None:
+            n_real = T
         x = jnp.asarray(frames, jnp.float32)
         if self.mfccs:
             raw = self.binner.mfccs(x)[..., 1 - self.intensity_feature:
@@ -633,7 +668,7 @@ class AudioClassifier:
             for order in range(self.delta_features):
                 prev = jnp.concatenate([prev_f[order][None], cur[:-1]],
                                        axis=0)
-                prev_f = prev_f.at[order].set(cur[-1])
+                prev_f = prev_f.at[order].set(cur[n_real - 1])
                 cur = cur - prev
                 ds.append(cur)
             self._prev_features = prev_f   # stays device-resident, no sync
@@ -642,15 +677,20 @@ class AudioClassifier:
             * jnp.asarray(self.feature_scales)
         return feats
 
-    def _train_frames(self, frames):
+    def _train_frames(self, frames, real, n_real):
         T = frames.shape[0]
-        feats = self._features_for_frames(frames)
-        targets = targets_for_windows(self.events, self.window_no, T,
+        feats = self._features_for_frames(frames, n_real)
+        targets = targets_for_windows(self.events, self.window_no, n_real,
                                       self.n_channels, len(self.groups),
                                       self._current_targets)
-        live = (np.arange(self.window_no, self.window_no + T)
-                >= self.ignored_windows)
-        self.window_no += T
+        live = np.zeros(T, bool)
+        live[:n_real] = (np.arange(self.window_no, self.window_no + n_real)
+                         >= self.ignored_windows)
+        if n_real < T:
+            targets = np.concatenate(
+                [targets, np.full((T - n_real,) + targets.shape[1:], -1,
+                                  targets.dtype)], axis=0)
+        self.window_no += n_real
         # balanced-training counts: the scan carries them per window; the
         # host master counts (float64, accumulated in _log_oldest_stats)
         # seed each block — with pipeline_depth > 1 the seed lags the
@@ -661,7 +701,8 @@ class AudioClassifier:
             feats, jnp.asarray(targets),
             jnp.asarray(self.seen_counts.astype(np.float32)),
             jnp.float32(self.balanced_training_bias), self.error_weight,
-            jnp.asarray(live), self._next_key(), jnp.float32(self.momentum),
+            jnp.asarray(live), jnp.asarray(real), self._next_key(),
+            jnp.float32(self.momentum),
             jnp.float32(self.net.cfg.presynaptic_noise))
         # defer the device->host stats reads: with pipeline_depth > 1 the
         # next block(s) are enqueued before this one's results are fetched,
@@ -690,37 +731,36 @@ class AudioClassifier:
         while self._pending_stats:
             self._log_oldest_stats()
 
-    def _opine_frames(self, frames) -> list[dict]:
+    def _opine_frames(self, frames, real, n_real) -> list[dict]:
         """Launch inference on a block; emit opinion dicts.  With
         pipeline_depth > 1 the device results are read back one or more
         blocks behind the launches (same latency-hiding as training), so
         feed() returns older blocks' messages — order preserved, the tail
         arriving from flush()."""
-        T = frames.shape[0]
-        feats = self._features_for_frames(frames)
-        targets = targets_for_windows(self.events, self.window_no, T,
+        feats = self._features_for_frames(frames, n_real)
+        targets = targets_for_windows(self.events, self.window_no, n_real,
                                       self.n_channels, len(self.groups),
                                       self._current_targets)
         hidden, probs, winners = classify_opine_windows(
             self.net.cfg, tuple(self.groups), self.params, self.state.hidden,
-            feats)
+            feats, jnp.asarray(real))
         self.state = dataclasses.replace(self.state, hidden=hidden)
         self._pending_opinions.append(
-            (self.window_no, targets, probs, winners))
-        self.window_no += T
+            (self.window_no, targets, probs, winners, n_real))
+        self.window_no += n_real
         out = []
         while len(self._pending_opinions) >= max(1, self.pipeline_depth):
             out.extend(self._render_oldest_opinions())
         return out
 
     def _render_oldest_opinions(self) -> list[dict]:
-        window_no, targets, probs, winners = self._pending_opinions.popleft()
-        T = probs.shape[0]
+        (window_no, targets, probs, winners,
+         n_real) = self._pending_opinions.popleft()
         probs = np.asarray(probs)      # [T, C, G, o_size]
         winners = np.asarray(winners)  # [T, C, G]
         window_to_secs = self.window_size * 0.5 / self.rate
         out = []
-        for t in range(T):
+        for t in range(n_real):
             w = window_no + t
             if w < self.ignored_windows:
                 continue

@@ -126,6 +126,41 @@ class TestAudioClassifier:
         np.testing.assert_array_equal(w1, w4)
         assert msgs1 == msgs4
 
+    def test_padded_tail_block_equivalence(self):
+        """flush() pads a short tail up to BLOCK_WINDOWS (one compiled
+        shape for every device call); the padding windows must be perfect
+        no-ops.  Oracle: a classifier whose BLOCK_WINDOWS exactly matches
+        the tail length (no padding at all) — same audio, same seeds —
+        must produce identical weights, logs and messages.  (Valid because
+        jax.random.split(key, T) is prefix-invariant in T.)"""
+        import io
+
+        def run(block_windows):
+            clf = self.make(delta_features=1)
+            clf.BLOCK_WINDOWS = block_windows
+            clf.log.f = io.StringIO()
+            clf.set_target_string("c0t0:a c1t0:b")
+            half = clf.window_size // 2
+            n = 96 * half        # 96 windows: exact for 96, padded for 128
+            pcm = np.stack([tone_pcm(500, n, seed=1),
+                            tone_pcm(2500, n, seed=2)])
+            clf.feed(pcm)
+            clf.flush()
+            clf.training = False
+            pcm2 = np.stack([tone_pcm(2500, n, seed=3),
+                             tone_pcm(500, n, seed=4)])
+            msgs = clf.feed(pcm2) + clf.flush()
+            return (clf.log.f.getvalue(), np.asarray(clf.params.ih),
+                    np.asarray(clf.state.hidden), msgs, clf.window_no)
+
+        log_e, w_e, h_e, msgs_e, n_e = run(96)    # exact blocks, no padding
+        log_p, w_p, h_p, msgs_p, n_p = run(128)   # tail padded 96 -> 128
+        assert n_e == n_p == 192
+        np.testing.assert_array_equal(w_e, w_p)
+        np.testing.assert_array_equal(h_e, h_p)
+        assert msgs_e == msgs_p
+        assert log_e == log_p
+
     def test_balanced_training_counts(self):
         clf = self.make(balanced_training_bias=1.0)
         clf.set_target_string("c0t0:a c1t0:a")   # only class a seen
