@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--multi-tap", type=int, default=256)
     p.add_argument("--learn-rate", type=float, default=5e-6)
     p.add_argument("--max-retries", type=int, default=20)
+    p.add_argument("extra", nargs="*",
+                   help="extra text-predict flags (after --), e.g. "
+                        "-- --learn-rate-inertia 60")
     opt = p.parse_args(argv)
 
     os.makedirs(opt.workdir, exist_ok=True)
@@ -78,7 +81,7 @@ def main(argv=None) -> int:
                "--log-file", os.path.join(
                    opt.workdir, f"endurance-leg{len(legs)}.log"),
                "--basename", os.path.join(opt.workdir, "endurance"),
-               "--stop-after", str(stop), "--quiet"]
+               "--stop-after", str(stop), "--quiet"] + opt.extra
         t0 = time.time()
         print(f"endurance leg {len(legs)}: gen {gen} -> {stop}", flush=True)
         r = subprocess.run(cmd, cwd=REPO)
