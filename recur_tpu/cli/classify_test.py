@@ -27,7 +27,8 @@ def main(argv=None) -> int:
     clf = AudioClassifier(classes=opt.classes, n_channels=opt.channels,
                           window_size=opt.window_size,
                           hidden_size=loaded.cfg.hidden_size,
-                          net_filename=opt.net_filename, force_load=True)
+                          net_filename=opt.net_filename, force_load=True,
+                          pipeline_depth=4)
     trainer = Trainer(clf, [], load_file_list(opt.test_list),
                       verbose=not opt.json)
     result = trainer.test_epoch()

@@ -34,7 +34,8 @@ def main(argv=None) -> int:
     clf = AudioClassifier(classes=opt.classes, n_channels=1,
                           window_size=opt.window_size,
                           hidden_size=loaded.cfg.hidden_size,
-                          net_filename=opt.net_filename, force_load=True)
+                          net_filename=opt.net_filename, force_load=True,
+                          pipeline_depth=4)
     clf.training = False
     call_char = clf.groups[0].classes[0]
     key = f"channel 0, group 0 {call_char}"

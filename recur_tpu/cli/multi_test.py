@@ -37,7 +37,8 @@ def main(argv=None) -> int:
         clf = AudioClassifier(classes=opt.classes, n_channels=opt.channels,
                               window_size=opt.window_size,
                               hidden_size=loaded.cfg.hidden_size,
-                              net_filename=net_path, force_load=True)
+                              net_filename=net_path, force_load=True,
+                              pipeline_depth=4)
         tr = Trainer(clf, [], files, verbose=False)
         scores, t = [], []
         C = clf.n_channels
