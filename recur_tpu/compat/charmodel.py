@@ -13,6 +13,7 @@ documents as parallel TPU streams.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -106,6 +107,7 @@ class Net:
                  periodic_pgm_dump: Optional[str] = None,
                  periodic_pgm_period: int = 1000, batch_size: int = 1,
                  init_method: int = int(InitMethod.FLAT),
+                 pipeline_depth: int = 1,
                  _net: Optional[_nn.Net] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size {batch_size} won't work")
@@ -123,6 +125,11 @@ class Net:
         self.batch_size = int(batch_size)
         self.momentum = float(momentum)
         self.verbose = verbose
+        # TPU extension: >1 defers the per-train() log readback so up to N
+        # documents' device work stays in flight (the device-link readback
+        # costs ~26ms; see AudioClassifier.pipeline_depth)
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._pending_logs: deque = deque()
         alen = len(alphabet)
         flags = Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR
         if learning_method in (LearningMethod.ADADELTA, LearningMethod.RPROP):
@@ -317,7 +324,10 @@ class Net:
         if int(self._state.hidden.shape[0]) != S:
             self._resize_streams(S)
         targets = jnp.asarray(targets)
-        err = ent = 0.0
+        # accumulate the chunk stats ON DEVICE (a readback per bucket piece
+        # would cost a full device-link round trip each); one deferred log
+        # entry per call, drained pipeline_depth calls behind
+        err = ent = None
         for i, n in self._chunk_spans(block.shape[1] - 1):
             piece = jnp.asarray(block[:, i:i + n + 1])
             (self._params, self._bptt, self._state,
@@ -327,12 +337,25 @@ class Net:
                 piece, targets, jnp.float32(leakage), self._next_key(),
                 jnp.float32(self.momentum),
                 jnp.float32(self.net.cfg.presynaptic_noise))
-            err += float(stats.error)
-            ent += float(stats.entropy)
+            err = stats.error if err is None else err + stats.error
+            ent = stats.entropy if ent is None else ent + stats.entropy
         n = max(block.shape[0] * (block.shape[1] - 1), 1)
-        self.log.log_float("t_error", err / n)
-        self.log.log_float("t_entropy", ent / n)
-        self.log.log_int("generation", self.generation)
+        # jnp.copy: the bptt buffers are donated to the next chunk call
+        self._pending_logs.append(
+            (err, ent, n, jnp.copy(self._bptt.generation)))
+        while len(self._pending_logs) >= max(1, self.pipeline_depth):
+            self._log_oldest()
+
+    def _log_oldest(self):
+        err, ent, n, gen = self._pending_logs.popleft()
+        self.log.log_float("t_error", float(err) / n)
+        self.log.log_float("t_entropy", float(ent) / n)
+        self.log.log_int("generation", int(gen))
+
+    def drain_logs(self):
+        """Sync: fetch and log every in-flight train() call's stats."""
+        while self._pending_logs:
+            self._log_oldest()
 
     # ---- scoring (Net_test) ----
     def test(self, text, ignore_start: int = 0, as_list: bool = False):
@@ -449,6 +472,7 @@ class Net:
 
     # ---- persistence ----
     def save(self, filename: Optional[str] = None, backup: int = 1):
+        self.drain_logs()
         self.net.params = self._params
         self.net.generation = self.generation
         self.net.learn_rate = self.learn_rate

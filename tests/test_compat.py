@@ -65,6 +65,30 @@ class TestCharNet:
         assert t1["one"] < t1["two"], t1
         assert t2["two"] < t2["one"], t2
 
+    def test_pipeline_depth_equivalence(self):
+        """pipeline_depth (TPU extension) only defers log readback; the
+        training arithmetic and the logged values are identical."""
+        import io
+
+        def run(depth):
+            a, net = self.make(learn_rate=0.01, pipeline_depth=depth)
+            net.log.f = io.StringIO()
+            t1 = a.encode_text(b"abab cdcd " * 20)
+            t2 = a.encode_text(b"efef ghgh " * 20)
+            for _ in range(4):
+                net.train(t1, "one", leakage=0.05)
+                net.train(t2, "two", leakage=0.05)
+            net.drain_logs()
+            assert not net._pending_logs
+            import numpy as np
+            return net.log.f.getvalue(), np.asarray(net._params.ih)
+
+        log1, w1 = run(1)
+        log3, w3 = run(3)
+        assert log1 == log3
+        import numpy as np
+        np.testing.assert_array_equal(w1, w3)
+
     def test_train_unknown_class(self):
         a, net = self.make()
         with pytest.raises(KeyError):
