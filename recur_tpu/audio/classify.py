@@ -353,7 +353,7 @@ class AudioClassifier:
                  force_load: bool = False, log_file: Optional[str] = None,
                  audio_rate: int = CLASSIFY_RATE,
                  window_type: WindowType = WindowType.HANN,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1, mesh=None):
         self.groups = parse_classes_string(classes)
         self.classes_string = classes
         self.n_channels = n_channels
@@ -456,6 +456,23 @@ class AudioClassifier:
             (n_channels, len(self.groups)), -1, np.int32)
         self.seen_counts = np.zeros(cfg.o_size, np.float64)
         self.used_counts = np.zeros(cfg.o_size, np.float64)
+        # multi-chip: channels shard over the mesh's 'data' axis, the
+        # hidden dim over 'model' (SURVEY §2.9 — the synchronic-minibatch
+        # clone array becomes a sharded stream axis with psum'd stats)
+        self.mesh = mesh
+        if mesh is not None:
+            from recur_tpu.parallel import mesh as pmesh
+            self.params, self.bptt, self.state = pmesh.shard_classify_args(
+                mesh, cfg, self.params, self.bptt, self.state)
+            self._train_fn = pmesh.sharded_classify_train(
+                mesh, cfg, self.hyper, tuple(self.groups))
+            self._opine_fn = pmesh.sharded_classify_opine(
+                mesh, cfg, tuple(self.groups))
+        else:
+            self._train_fn = partial(classify_train_windows, cfg,
+                                     self.hyper, tuple(self.groups))
+            self._opine_fn = partial(classify_opine_windows, cfg,
+                                     tuple(self.groups))
 
     # -- metadata / filename (set_net_filename, gstclassify.c:688-705) --
     # Both directions generated from the single property registry
@@ -695,8 +712,7 @@ class AudioClassifier:
         # host master counts (float64, accumulated in _log_oldest_stats)
         # seed each block — with pipeline_depth > 1 the seed lags the
         # blocks still in flight
-        self.params, self.bptt, self.state, stats = classify_train_windows(
-            self.net.cfg, self.hyper, tuple(self.groups),
+        self.params, self.bptt, self.state, stats = self._train_fn(
             self.params, self.bptt, self.state,
             feats, jnp.asarray(targets),
             jnp.asarray(self.seen_counts.astype(np.float32)),
@@ -741,9 +757,8 @@ class AudioClassifier:
         targets = targets_for_windows(self.events, self.window_no, n_real,
                                       self.n_channels, len(self.groups),
                                       self._current_targets)
-        hidden, probs, winners = classify_opine_windows(
-            self.net.cfg, tuple(self.groups), self.params, self.state.hidden,
-            feats, jnp.asarray(real))
+        hidden, probs, winners = self._opine_fn(
+            self.params, self.state.hidden, feats, jnp.asarray(real))
         self.state = dataclasses.replace(self.state, hidden=hidden)
         self._pending_opinions.append(
             (self.window_no, targets, probs, winners, n_real))
@@ -799,6 +814,10 @@ class AudioClassifier:
         self.drain_stats()
         self._pending_opinions.clear()   # stale stream's results
         self.state = nn.new_state(self.net.cfg, self.n_channels)
+        if self.mesh is not None:
+            from recur_tpu.parallel import mesh as pmesh
+            _, _, self.state = pmesh.shard_classify_args(
+                self.mesh, self.net.cfg, self.params, self.bptt, self.state)
         self._pcm_tail[:] = 0
         self._pending = np.zeros((self.n_channels, 0), np.float32)
         self._prev_features = jnp.zeros_like(self._prev_features)

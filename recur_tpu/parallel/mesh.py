@@ -203,6 +203,73 @@ def shard_multihead_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
 
 
 # ---------------------------------------------------------------------------
+# classify sharding: audio channels over 'data', hidden dim over 'model'
+# ---------------------------------------------------------------------------
+
+def sharded_classify_train(mesh: Mesh, cfg: RnnConfig, hyper, groups):
+    """classify_train_windows jitted over the mesh: the per-channel subnet
+    state (the reference's ClassifyChannel array, gstclassify.h:88-98)
+    shards over 'data', the hidden dim over 'model'.  The balanced-training
+    seen-count carry and the window stats are cross-channel sums — GSPMD
+    inserts the psums (the collective form of the shared delta array).
+    Returns fn(params, bptt, state, features, targets, seen, bias,
+    error_weight, live, real, key, momentum, noise)."""
+    from recur_tpu.audio import classify as ac
+
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _param_specs(cfg))
+    bspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _bptt_specs(cfg))
+    sspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _state_specs(cfg))
+    tcd = NamedSharding(mesh, P(None, "data", None))  # [T, C, ...]
+    rep = NamedSharding(mesh, P())
+    in_shardings = (pspec, bspec, sspec, tcd, tcd, rep, rep, rep, rep, rep,
+                    rep, rep, rep)
+
+    def fn(params, bptt, state, features, targets, seen, bias, error_weight,
+           live, real, key, momentum, noise):
+        return ac.classify_train_windows(
+            cfg, hyper, groups, params, bptt, state, features, targets,
+            seen, bias, error_weight, live, real, key, momentum, noise)
+
+    out_shardings = (pspec, bspec, sspec,
+                     jax.tree.map(lambda _: rep,
+                                  ac.WindowStats(0, 0, 0, 0, 0)))
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings, donate_argnums=(0, 1, 2))
+
+
+def sharded_classify_opine(mesh: Mesh, cfg: RnnConfig, groups):
+    """classify_opine_windows jitted with channels over 'data'.  Returns
+    fn(params, hidden, features, real)."""
+    from recur_tpu.audio import classify as ac
+
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _param_specs(cfg))
+    hid = NamedSharding(mesh, P("data", None))
+    tcd = NamedSharding(mesh, P(None, "data", None))
+    rep = NamedSharding(mesh, P())
+
+    def fn(params, hidden, features, real):
+        return ac.classify_opine_windows(cfg, groups, params, hidden,
+                                         features, real)
+
+    out_shardings = (hid, NamedSharding(mesh, P(None, "data", None, None)),
+                     tcd)
+    return jax.jit(fn, in_shardings=(pspec, hid, tcd, rep),
+                   out_shardings=out_shardings)
+
+
+def shard_classify_args(mesh: Mesh, cfg: RnnConfig, params: RnnParams,
+                        bptt: BpttState, state: RnnState):
+    """Place a classifier's params/bptt/state onto the mesh."""
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+    return (put(params, _param_specs(cfg)),
+            put(bptt, _bptt_specs(cfg)),
+            put(state, _state_specs(cfg)))
+
+
+# ---------------------------------------------------------------------------
 # explicit shard_map + psum data parallelism (SURVEY.md §2.9/§5.8)
 # ---------------------------------------------------------------------------
 

@@ -225,3 +225,58 @@ def test_gspmd_factored_impl():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
                                rtol=1e-5)
+
+
+def test_classify_channel_sharding():
+    """End-to-end classify training on the mesh (channels over 'data',
+    hidden over 'model') equals the single-device classifier exactly —
+    the multi-chip form of gstclassify's per-channel subnet array."""
+    import io
+    from recur_tpu.audio.classify import AudioClassifier
+
+    def tone(freq, n, seed):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 8000.0
+        return (3000 * np.sin(2 * np.pi * freq * t)
+                + rng.normal(0, 300, n)).astype(np.float32)
+
+    def run(mesh):
+        clf = AudioClassifier("ab", n_channels=8, window_size=64,
+                              hidden_size=31, learn_rate=1e-4, rng_seed=7,
+                              net_filename="/tmp/mesh_classify.net",
+                              mesh=mesh)
+        clf.BLOCK_WINDOWS = 16
+        clf.log.f = io.StringIO()
+        clf.set_target_string(
+            " ".join(f"c{c}t0:{'ab'[c % 2]}" for c in range(8)))
+        pcm = np.stack([tone(500 if c % 2 == 0 else 2500, 8000, seed=c)
+                        for c in range(8)])
+        clf.feed(pcm)
+        clf.flush()
+        # inference leg too (opine path sharding)
+        clf.training = False
+        msgs = clf.feed(pcm[:, :4000]) + clf.flush()
+        return np.asarray(clf.params.ih), clf.log.f.getvalue(), msgs
+
+    w_single, log_single, msgs_single = run(None)
+    w_mesh, log_mesh, msgs_mesh = run(make_mesh(4, 2))
+    # the sharded cross-channel gradient contraction reduces in a different
+    # order (psum over 'data'), so agreement is to float rounding, not bit
+    np.testing.assert_allclose(w_mesh, w_single, rtol=2e-4, atol=1e-6)
+
+    def parse_log(s):
+        return [(k, float(v)) for k, v in
+                (ln.split(" ", 1) for ln in s.strip().splitlines())]
+    for (ka, va), (kb, vb) in zip(parse_log(log_mesh), parse_log(log_single),
+                                  strict=True):
+        assert ka == kb
+        assert abs(va - vb) <= 1e-3 * max(1.0, abs(vb)), (ka, va, vb)
+    assert len(msgs_mesh) == len(msgs_single)
+    for a, b in zip(msgs_mesh, msgs_single):
+        assert a.keys() == b.keys()
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, (float, np.floating)):
+                assert abs(va - vb) < 1e-3, (k, va, vb)
+            else:
+                assert va == vb, (k, va, vb)
