@@ -106,6 +106,37 @@ def classify_compute_bench() -> float:
     return T * C / dt
 
 
+def caravel_bench() -> float:
+    """Author-ID training throughput (chars/s) on the caravel shape the
+    reference's charmodel.so was built for (py-recur-text.c:428-591;
+    multi-text net i73-h99-o3650 = 50 heads x 73 symbols): train_batch over
+    parallel documents with deferred log readback."""
+    import time
+    import numpy as np
+    import jax
+    from recur_tpu.compat.charmodel import Alphabet, Net
+
+    on_tpu = jax.default_backend() != "cpu"
+    S, T = (1024, 4097) if on_tpu else (4, 65)
+    alphabet = Alphabet(alphabet_chars="".join(
+        chr(0x21 + i) for i in range(73)))
+    classes = [f"c{i}" for i in range(50)]
+    net = Net(alphabet, classes, 99, log_file=None, pipeline_depth=2,
+              presynaptic_noise=0.0)
+    rng = np.random.default_rng(0)
+    texts = [rng.integers(0, 73, T, dtype=np.int32) for _ in range(S)]
+    doc_classes = [classes[i % 50] for i in range(S)]
+    net.train_batch(texts, doc_classes)        # compile + warm
+    net.drain_logs()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        net.train_batch(texts, doc_classes)
+        net.drain_logs()
+        times.append(time.perf_counter() - t0)
+    return S * (T - 1) / sorted(times)[1]
+
+
 def main():
     import numpy as np
     import jax
@@ -188,6 +219,7 @@ def main():
     # classify north star (BASELINE.json): windows/s vs the C window step
     classify_base = max(c_classify_baseline(), c_classify_baseline())
     classify = classify_compute_bench()
+    caravel = caravel_bench()
 
     print(json.dumps({
         "metric": "char-LM BPTT training throughput (h=199, depth=30, "
@@ -201,6 +233,7 @@ def main():
             "classify_windows_per_sec": round(classify, 0),
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),
+            "caravel_train_chars_per_sec": round(caravel, 0),
             "classify_note": "compute-only (device-resident PCM frames), "
                 "pipelined steady-state: window+FFT+40 log bins+h=199 fwd+"
                 "depth-30 BPTT+apply per window, 1000 channels; C baseline "
