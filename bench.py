@@ -165,19 +165,19 @@ def main():
         # the buffered form.  All three BPTT gradient formulations are
         # measured (see ops/core.py's landscape note: buffered big-einsum >
         # factored one-hot > two-pass replay on this chip).
-        configs = ((3072, 4096, jnp.bfloat16, "buffered"),
-                   (3072, 4096, jnp.bfloat16, "twopass"),
-                   (3584, 4096, jnp.bfloat16, "buffered"),
-                   (3584, 4096, jnp.bfloat16, "factored"),
-                   (4096, 4096, jnp.bfloat16, "factored"),
-                   (2048, 2048, jnp.bfloat16, "buffered"))
+        configs = ((3072, 4096, jnp.bfloat16, "buffered", 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 4),
+                   (3584, 4096, jnp.bfloat16, "factored", 1),
+                   (4096, 4096, jnp.bfloat16, "factored", 1),
+                   (2048, 2048, jnp.bfloat16, "buffered", 4))
     else:
-        configs = ((64, 256, jnp.float32, "buffered"),)
-    def time_chunk(a_net, S, T, hdtype, impl, reps=8):
+        configs = ((64, 256, jnp.float32, "buffered", 1),)
+    def time_chunk(a_net, S, T, hdtype, impl, unroll=1, reps=8):
         """Median steps/s over the tail reps, with a device->host read as
         the per-iteration sync (block_until_ready can return early on
         queued work through the axon transport)."""
-        hyper = TrainHyper(condition=False, bptt_impl=impl)
+        hyper = TrainHyper(condition=False, bptt_impl=impl, unroll=unroll)
         params = jax.device_put(jax.tree.map(jnp.copy, a_net.params))
         bptt = nn.new_bptt_state(a_net.cfg, S, 1e-4, 0.95)
         state = nn.new_state(a_net.cfg, S, history_dtype=hdtype,
@@ -196,13 +196,13 @@ def main():
         dt = sorted(times[2:])[len(times[2:]) // 2]
         return S * T / dt
 
-    for S, T, hdtype, impl in configs:
-        rate = time_chunk(net, S, T, hdtype, impl)
-        print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl}: "
+    for S, T, hdtype, impl, unroll in configs:
+        rate = time_chunk(net, S, T, hdtype, impl, unroll)
+        print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl} u{unroll}: "
               f"{rate:,.0f} steps/s", file=sys.stderr)
         if rate > best:
             best = rate
-            best_cfg = (S, T, str(jnp.dtype(hdtype)), impl)
+            best_cfg = (S, T, str(jnp.dtype(hdtype)), impl, unroll)
 
     # the reference's big-net point (recur-nn.c:26-31 brags about h=1999):
     # one config, S=512 streams x T=2048 chunks

@@ -292,7 +292,8 @@ def classify_train_windows(cfg, hyper, groups, params, bptt, state,
 
     (params, bptt, state, _), stats = jax.lax.scan(
         body, (params, bptt, state, seen_counts),
-        (features, targets, window_live, window_real, keys))
+        (features, targets, window_live, window_real, keys),
+        unroll=getattr(hyper, "unroll", 1))
     return params, bptt, state, jax.tree.map(lambda x: x.sum(0), stats)
 
 

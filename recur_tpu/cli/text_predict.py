@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bottom-layer", type=int, default=0)
     a("--top-learn-rate-scale", type=float, default=1.0)
     a("--bottom-learn-rate-scale", type=float, default=1.0)
+    a("--unroll", type=int, default=1,
+      help="scan unroll factor (amortises per-iteration device overhead)")
     a("--bptt-impl", default="buffered",
       choices=["buffered", "twopass", "factored"],
       help="BPTT gradient formulation: buffered einsum, twopass (trades "
@@ -221,7 +223,7 @@ def main(argv=None) -> int:
                       periodic_weight_noise=opt.periodic_weight_noise,
                       log=log, seed=opt.rng_seed,
                       history_dtype=jnp.dtype(opt.history_dtype),
-                      bptt_impl=opt.bptt_impl,
+                      bptt_impl=opt.bptt_impl, unroll=opt.unroll,
                       periodic_pgm_dump=opt.periodic_pgm_dump,
                       temporal_pgm_dump=opt.temporal_pgm_dump,
                       basename=opt.basename)

@@ -76,6 +76,11 @@ class TrainHyper:
     # via one-hot einsums; ~80% of buffered's throughput).  All agree to
     # f32 tolerance.  See ops/core.py calc_deltas{,_twopass,_factored}.
     bptt_impl: str = "buffered"
+    # lax.scan unroll factor for the per-step training scans: >1 merges k
+    # steps into one loop iteration, amortising the ~100µs/iteration floor
+    # of the tunneled chip (CLAUDE.md) at the cost of compile time.  The
+    # math is identical (unrolling is pure inlining).
+    unroll: int = 1
 
 
 def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
@@ -178,7 +183,8 @@ def _char_chunk_scan(cfg, hyper, params, bptt, state, xs, ys, key,
         return (params, bptt, state), summed
 
     (params, bptt, state), stats = jax.lax.scan(
-        body, (params, bptt, state), (xs, ys, keys))
+        body, (params, bptt, state), (xs, ys, keys),
+        unroll=getattr(hyper, "unroll", 1))
     totals = jax.tree.map(jnp.sum, stats)
     return params, bptt, state, totals
 

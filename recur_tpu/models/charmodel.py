@@ -124,6 +124,7 @@ class CharModel:
                  periodic_weight_noise: float = 0.0,
                  log: Optional[KvLog] = None, seed: int = 0,
                  history_dtype=jnp.float32, bptt_impl: str = "buffered",
+                 unroll: int = 1,
                  periodic_pgm_dump: str = "",
                  temporal_pgm_dump: bool = False, basename: str = "net"):
         self.net = net
@@ -136,7 +137,7 @@ class CharModel:
             batch_size=batch_size,
             use_noise=net.cfg.presynaptic_noise > 0.0,
             condition=False,  # char multi-tap path skips conditioning
-            bptt_impl=bptt_impl)
+            bptt_impl=bptt_impl, unroll=unroll)
         self.report_interval = report_interval
         self.save_net = save_net
         self.filename = filename

@@ -198,6 +198,7 @@ def test_chunk_equals_stepwise():
             cfg, hyper, p1, b1, s1, toks[:, t], toks[:, t + 1], keys[t],
             mom, noise)
 
+    params0 = jax.tree.map(jnp.copy, params)
     # chunk last: char_train_chunk donates its params/bptt/state buffers
     p2, b2, s2, totals = engine.char_train_chunk(
         cfg, hyper, params, bptt, nn.new_state(cfg, S), toks, key, mom, noise)
@@ -206,6 +207,15 @@ def test_chunk_equals_stepwise():
     np.testing.assert_allclose(np.asarray(s2.hidden), np.asarray(s1.hidden),
                                rtol=1e-5, atol=1e-7)
     assert int(b2.generation) == T
+
+    # unrolled scan is pure inlining: bit-identical to unroll=1
+    p3, b3, s3, _ = engine.char_train_chunk(
+        cfg, TrainHyper(condition=False, unroll=4),
+        params0, nn.new_bptt_state(cfg, S),
+        nn.new_state(cfg, S), toks, key, mom, noise)
+    np.testing.assert_array_equal(np.asarray(p3.ih), np.asarray(p2.ih))
+    np.testing.assert_array_equal(np.asarray(s3.hidden),
+                                  np.asarray(s2.hidden))
 
 
 @pytest.mark.parametrize("method", list(LearningMethod))
