@@ -10,8 +10,9 @@ training fuse into a single XLA program.
 Capabilities kept from the element's ~50 properties: class groups
 ("Mm,Kk,Wx" = independent softmaxes, gstclassify.c:709-748), target event
 strings ("c0t2.3:mkW", :1382-1541), error weighting, balanced training
-(:2205-2215 — probabilities are recomputed per chunk instead of per window;
-decisions run on-device), ignored windows, training lag, feature
+(:2205-2215 — keep-probabilities refresh per window from seen counts
+carried through the scan; decisions run on-device), ignored windows,
+training lag, feature
 offset/scale normalisation, Δ features and the intensity feature.
 """
 
@@ -279,7 +280,9 @@ def classify_train_windows(cfg, hyper, groups, params, bptt, state,
         params, bptt, state, seen = carry
         f, t, live, real, k = inp
         scale = 1.0 / (seen.sum() + 1.0)
-        train_p = (1.0 - seen * scale) ** balance_bias
+        # clamp: f32 rounding can push seen*scale past 1 for a dominant
+        # class, and a negative base under a fractional bias would be NaN
+        train_p = jnp.maximum(1.0 - seen * scale, 0.0) ** balance_bias
         new_p, new_b, new_s, stats = classify_window_step(
             cfg, hyper, groups, params, bptt, state, f, t, train_p,
             error_weight, live & real, k, momentum_target,
@@ -649,7 +652,8 @@ class AudioClassifier:
         frames = jnp.concatenate([prev, halves], axis=-1)  # [T, C, window]
         # the carry tail is a slice of the HOST pcm we just shipped — taking
         # it from `chunks` avoids a device->host round trip per block
-        self._pcm_tail = np.asarray(chunks[:, -half:], np.float32)
+        # (np.array: a view here would pin the whole consumed block buffer)
+        self._pcm_tail = np.array(chunks[:, -half:], np.float32, copy=True)
         real = np.arange(T) < n_real
         if self.training:
             self._train_frames(frames, real, n_real)
@@ -712,11 +716,20 @@ class AudioClassifier:
         # balanced-training counts: the scan carries them per window; the
         # host master counts (float64, accumulated in _log_oldest_stats)
         # seed each block — with pipeline_depth > 1 the seed lags the
-        # blocks still in flight
+        # blocks still in flight.  The f32 in-graph carry loses unit
+        # increments (and collapses (1 - seen/total)^bias to exactly 0 for
+        # a dominant class) once counts pass ~2^24, so large counts are
+        # rescaled to <= 2^18 first: the keep-probabilities depend only on
+        # the ratios, and at that magnitude the +1 smoothing term and the
+        # per-window increments both still register in f32.
+        seen = self.seen_counts
+        total = seen.sum()
+        if total > 2 ** 18:
+            seen = seen * (2 ** 18 / total)
         self.params, self.bptt, self.state, stats = self._train_fn(
             self.params, self.bptt, self.state,
             feats, jnp.asarray(targets),
-            jnp.asarray(self.seen_counts.astype(np.float32)),
+            jnp.asarray(seen.astype(np.float32)),
             jnp.float32(self.balanced_training_bias), self.error_weight,
             jnp.asarray(live), jnp.asarray(real), self._next_key(),
             jnp.float32(self.momentum),

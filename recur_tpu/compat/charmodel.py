@@ -339,6 +339,8 @@ class Net:
                 jnp.float32(self.net.cfg.presynaptic_noise))
             err = stats.error if err is None else err + stats.error
             ent = stats.entropy if ent is None else ent + stats.entropy
+        if err is None:      # zero transitions (shortest doc has length 1)
+            return
         n = max(block.shape[0] * (block.shape[1] - 1), 1)
         # jnp.copy: the bptt buffers are donated to the next chunk call
         self._pending_logs.append(

@@ -177,6 +177,22 @@ class TestAudioClassifier:
         # trained all of them (train_p starts at 1 with zero counts)
         assert clf.used_counts[0] < clf.seen_counts[0] * 0.2
 
+    def test_balanced_training_huge_counts(self):
+        """Counts past f32's exact-integer range must not collapse the
+        keep-probabilities to exact 0 (or NaN under a fractional bias):
+        the host seed is rescaled so ratios survive in f32."""
+        clf = self.make(balanced_training_bias=1.5)
+        clf.seen_counts[:2] = [3e8, 1e4]    # class a utterly dominant
+        clf.set_target_string("c0t0:a c1t0:b")
+        pcm = np.stack([tone_pcm(500, RATE), tone_pcm(2500, RATE)])
+        clf.feed(pcm)
+        clf.flush()
+        assert np.isfinite(np.asarray(clf.params.ih)).all()
+        # the rare class must still train (its keep-probability ~ 1)
+        assert clf.used_counts[1] > 0
+        # the dominant class is throttled but not hard-zeroed by rounding
+        assert clf.used_counts[0] < clf.seen_counts[0]
+
     def test_save_reload(self, tmp_path):
         clf = self.make(net_filename=str(tmp_path / "c.net"))
         clf.set_target_string("c0t0:a c1t0:b")

@@ -89,6 +89,15 @@ class TestCharNet:
         import numpy as np
         np.testing.assert_array_equal(w1, w3)
 
+    def test_train_batch_length_one_doc(self):
+        """A batch whose shortest document has a single symbol trains
+        nothing (zero transitions) but must not poison the deferred log
+        queue (float(None) regression)."""
+        a, net = self.make(pipeline_depth=3)
+        net.train_batch([a.encode_text(b"x"), a.encode_text(b"abcd")],
+                        ["one", "two"])
+        net.drain_logs()     # must not raise
+
     def test_train_unknown_class(self):
         a, net = self.make()
         with pytest.raises(KeyError):

@@ -233,12 +233,7 @@ def test_classify_channel_sharding():
     the multi-chip form of gstclassify's per-channel subnet array."""
     import io
     from recur_tpu.audio.classify import AudioClassifier
-
-    def tone(freq, n, seed):
-        rng = np.random.default_rng(seed)
-        t = np.arange(n) / 8000.0
-        return (3000 * np.sin(2 * np.pi * freq * t)
-                + rng.normal(0, 300, n)).astype(np.float32)
+    from tests.test_audio_classify import tone_pcm as tone
 
     def run(mesh):
         clf = AudioClassifier("ab", n_channels=8, window_size=64,
