@@ -51,7 +51,7 @@ def c_classify_baseline(seconds: float = 2.0) -> float:
                     "/tmp/recur_bench_classify", seconds, C_CLASSIFY_FALLBACK)
 
 
-def classify_compute_bench() -> float:
+def classify_compute_bench(unroll: int = 1) -> float:
     """Compute-only classify training throughput (channel-windows/s): the
     full per-window pipeline of the classify element — Hann window → FFT →
     40 log-frequency bins → h=199 forward → 2-class softmax error → depth-30
@@ -71,7 +71,9 @@ def classify_compute_bench() -> float:
                              hidden_size=199, learn_rate=1e-4,
                              net_filename="/tmp/bench_classify.net")
     cfg = clf.net.cfg
-    binner, groups, hyper = clf.binner, tuple(clf.groups), clf.hyper
+    binner, groups = clf.binner, tuple(clf.groups)
+    import dataclasses
+    hyper = dataclasses.replace(clf.hyper, unroll=unroll)
     seen0 = jnp.zeros(cfg.o_size, jnp.float32)
     live = jnp.ones(T, bool)
     rng = np.random.default_rng(0)
@@ -219,6 +221,11 @@ def main():
     # classify north star (BASELINE.json): windows/s vs the C window step
     classify_base = max(c_classify_baseline(), c_classify_baseline())
     classify = classify_compute_bench()
+    if jax.default_backend() != "cpu":
+        c4 = classify_compute_bench(unroll=4)
+        print(f"# classify unroll=4: {c4:,.0f} windows/s "
+              f"(u1: {classify:,.0f})", file=sys.stderr)
+        classify = max(classify, c4)
     caravel = caravel_bench()
 
     print(json.dumps({
