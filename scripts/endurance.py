@@ -84,7 +84,13 @@ def main(argv=None) -> int:
                "--stop-after", str(stop), "--quiet"] + opt.extra
         t0 = time.time()
         print(f"endurance leg {len(legs)}: gen {gen} -> {stop}", flush=True)
-        r = subprocess.run(cmd, cwd=REPO)
+        # persistent XLA compile cache: every leg is a fresh process, so
+        # without it each resume pays the full chunk compile again (no-op
+        # if the backend can't serialise executables)
+        env = dict(os.environ,
+                   JAX_COMPILATION_CACHE_DIR=os.path.join(opt.workdir,
+                                                          ".jax_cache"))
+        r = subprocess.run(cmd, cwd=REPO, env=env)
         dt = time.time() - t0
         new_gen = last_generation(net_path)
         legs.append({"leg": len(legs), "rc": r.returncode,
