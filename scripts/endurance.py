@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     p.add_argument("--multi-tap", type=int, default=256)
     p.add_argument("--learn-rate", type=float, default=5e-6)
     p.add_argument("--max-retries", type=int, default=20)
+    p.add_argument("--compile-cache", action="store_true",
+                   help="set JAX_COMPILATION_CACHE_DIR for the legs "
+                        "(helps on backends whose executables serialise)")
     p.add_argument("extra", nargs="*",
                    help="extra text-predict flags (after --), e.g. "
                         "-- --learn-rate-inertia 60")
@@ -85,11 +88,14 @@ def main(argv=None) -> int:
         t0 = time.time()
         print(f"endurance leg {len(legs)}: gen {gen} -> {stop}", flush=True)
         # persistent XLA compile cache: every leg is a fresh process, so
-        # without it each resume pays the full chunk compile again (no-op
-        # if the backend can't serialise executables)
-        env = dict(os.environ,
-                   JAX_COMPILATION_CACHE_DIR=os.path.join(opt.workdir,
-                                                          ".jax_cache"))
+        # without it each resume pays the full chunk compile again.
+        # Opt-in (--compile-cache): measured on the axon backend the cache
+        # stays empty (remote executables don't serialise), so it is not
+        # forced on by default.
+        env = dict(os.environ)
+        if opt.compile_cache:
+            env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(opt.workdir,
+                                                            ".jax_cache")
         r = subprocess.run(cmd, cwd=REPO, env=env)
         dt = time.time() - t0
         new_gen = last_generation(net_path)
