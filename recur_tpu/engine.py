@@ -372,7 +372,8 @@ def dense_train_chunk(cfg: RnnConfig, hyper: TrainHyper,
         return (params, bptt, state), jax.tree.map(jnp.sum, stats)
 
     (params, bptt, state), stats = jax.lax.scan(
-        body, (params, bptt, state), (xs, ts, ms, keys))
+        body, (params, bptt, state), (xs, ts, ms, keys),
+        unroll=getattr(hyper, "unroll", 1))
     return params, bptt, state, jax.tree.map(jnp.sum, stats)
 
 

@@ -132,7 +132,8 @@ def multihead_train_chunk(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
         return (params, bptt, state), jax.tree.map(jnp.sum, stats)
 
     (params, bptt, state), stats = jax.lax.scan(
-        body, (params, bptt, state), (xs, ys, keys))
+        body, (params, bptt, state), (xs, ys, keys),
+        unroll=getattr(hyper, "unroll", 1))
     return params, bptt, state, jax.tree.map(jnp.sum, stats)
 
 
