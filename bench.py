@@ -164,9 +164,10 @@ def main():
         # large stream counts and long scan chunks amortise per-op overhead;
         # bf16 history halves the HBM traffic of the backward walk (entropy
         # curves match f32).  Swept S x T: throughput peaks near S~3.5k for
-        # the buffered form.  All three BPTT gradient formulations are
-        # measured (see ops/core.py's landscape note: buffered big-einsum >
-        # factored one-hot > two-pass replay on this chip).
+        # the buffered form.  The formulation landscape (ops/core.py:
+        # buffered big-einsum > factored one-hot > two-pass replay, the
+        # latter ~2.2x slower) was raced in earlier rounds; the sweep now
+        # keeps the two live contenders plus unroll variants.
         configs = ((3072, 4096, jnp.bfloat16, "buffered", 1),
                    (3584, 4096, jnp.bfloat16, "buffered", 1),
                    (3584, 4096, jnp.bfloat16, "buffered", 4),
