@@ -357,7 +357,7 @@ class AudioClassifier:
                  force_load: bool = False, log_file: Optional[str] = None,
                  audio_rate: int = CLASSIFY_RATE,
                  window_type: WindowType = WindowType.HANN,
-                 pipeline_depth: int = 1, mesh=None):
+                 pipeline_depth: int = 1, unroll: int = 1, mesh=None):
         self.groups = parse_classes_string(classes)
         self.classes_string = classes
         self.n_channels = n_channels
@@ -417,7 +417,8 @@ class AudioClassifier:
             learning_style=LearningMethod(learning_style),
             momentum_soft_start=momentum_soft_start,
             use_noise=presynaptic_noise > 0.0,
-            condition=True)   # gstclassify conditions every window
+            condition=True,   # gstclassify conditions every window
+            unroll=max(1, int(unroll)))
         self.params = self.net.params
         self.bptt = nn.new_bptt_state(cfg, n_channels, learn_rate=learn_rate,
                                       momentum=momentum)

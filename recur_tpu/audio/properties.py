@@ -114,6 +114,9 @@ CLASSIFY_PROPERTIES: tuple[Prop, ...] = (
          "training blocks in flight before stats are read back (amortises "
          "device-link latency; 1 = synchronous)",
          timing=IMMEDIATE, rng=(1, 64)),
+    Prop("unroll", int, 1,
+         "window-scan unroll factor (identical math; trades compile time "
+         "for per-iteration overhead)", rng=(1, 16)),
 )
 
 
