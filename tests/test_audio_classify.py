@@ -177,6 +177,19 @@ class TestAudioClassifier:
         # trained all of them (train_p starts at 1 with zero counts)
         assert clf.used_counts[0] < clf.seen_counts[0] * 0.2
 
+    def test_unroll_equivalence(self):
+        """AudioClassifier(unroll=2) is pure scan inlining — identical
+        weights to unroll=1."""
+        def run(u):
+            clf = self.make(unroll=u)
+            clf.set_target_string("c0t0:a c1t0:b")
+            clf.feed(np.stack([tone_pcm(500, RATE * 2, seed=1),
+                               tone_pcm(2500, RATE * 2, seed=2)]))
+            clf.flush()
+            return np.asarray(clf.params.ih)
+
+        np.testing.assert_array_equal(run(1), run(2))
+
     def test_balanced_training_huge_counts(self):
         """Counts past f32's exact-integer range must not collapse the
         keep-probabilities to exact 0 (or NaN under a fractional bias):
