@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("--learn-rate-min", type=float, default=0.0)
     a("--learn-rate-inertia", type=int, default=0)
     a("--learn-rate-scale", type=float, default=0.5)
+    a("--learn-rate-schedule", default="sample",
+      choices=["sample", "trend"],
+      help="'sample': the reference's random-recent-sample comparison "
+           "(charmodel-predict.c:100-135); 'trend': noise-aware halved-"
+           "window mean comparison (drops only when the averaged trend "
+           "stalls — immune to single noisy validations)")
     a("--momentum", type=float, default=0.95)
     a("--momentum-weight", type=float, default=nn.RNN_MOMENTUM_WEIGHT)
     a("--momentum-soft-start", type=float, default=0.0)
@@ -239,7 +245,8 @@ def main(argv=None) -> int:
     if opt.learn_rate_inertia:
         model.schedule = Schedule(opt.learn_rate_inertia, opt.learn_rate_min,
                                   opt.learn_rate_scale,
-                                  adjust_noise=opt.adjust_noise)
+                                  adjust_noise=opt.adjust_noise,
+                                  trend=opt.learn_rate_schedule == "trend")
     vent = Ventropy(net.cfg, v_text.astype(np.int32),
                     lap=opt.validation_overlap) if len(v_text) else None
 

@@ -36,19 +36,73 @@ from recur_tpu.utils.kvlog import KvLog
 class Schedule:
     """Adaptive learn-rate schedule (rnn_char_init_schedule + eval_simple,
     charmodel-predict.c:82-135): drop the learn rate by learn_rate_mul when
-    the validation entropy stops beating a random sample of recent scores."""
+    the validation entropy stops beating a random sample of recent scores.
+
+    The reference comparison is a single (noisy) validation score against the
+    max of ~recent_len/3 sampled recent scores, so one unlucky validation can
+    trigger a drop even while the trend is still improving — over a long run
+    the rate decays to the floor (the round-2 endurance continuation's
+    pathology).  ``trend=True`` selects a noise-aware variant: keep the last
+    recent_len scores *in order*, compare the mean of the newer half against
+    the mean of the older half only once per half-window (independent tests,
+    no multiple-comparisons decay), and drop only when the improvement is
+    not statistically positive (older − newer < its own standard error,
+    estimated from the within-half variances).  A genuinely improving run
+    holds its rate; a genuinely flat one still drops within ~recent_len
+    evals."""
 
     def __init__(self, recent_len: int = 0, learn_rate_min: float = 1e-9,
-                 learn_rate_mul: float = 0.7, adjust_noise: bool = False):
+                 learn_rate_mul: float = 0.7, adjust_noise: bool = False,
+                 trend: bool = False):
         self.recent = [1e10] * recent_len
         self.recent_len = recent_len
         self.timeout = recent_len
         self.learn_rate_min = learn_rate_min
         self.learn_rate_mul = learn_rate_mul
         self.adjust_noise = adjust_noise
+        self.trend = trend
+        self.ordered: list = []
+        self.check_countdown = 0
+
+    def _drop(self, model: "CharModel", score: float, why: str,
+              verbose: bool):
+        self.timeout = self.recent_len
+        model.learn_rate = max(self.learn_rate_min,
+                               model.learn_rate * self.learn_rate_mul)
+        if self.adjust_noise:
+            model.presynaptic_noise *= self.learn_rate_mul
+            model.periodic_weight_noise *= self.learn_rate_mul
+        if verbose:
+            print(f"generation {model.generation}: entropy {score:.4g} "
+                  f"{why}; learn_rate -> {model.learn_rate:.3g}")
 
     def eval(self, model: "CharModel", score: float, verbose: bool = False):
         if self.recent_len == 0 or model.learn_rate <= self.learn_rate_min:
+            return
+        if self.trend:
+            self.ordered.append(score)
+            if len(self.ordered) > self.recent_len:
+                self.ordered.pop(0)
+            if self.timeout:
+                self.timeout -= 1
+                return
+            if len(self.ordered) < self.recent_len:
+                return
+            if self.check_countdown:
+                self.check_countdown -= 1
+                return
+            half = self.recent_len // 2
+            self.check_countdown = half - 1   # fresh newer-half each test
+            o, n = np.asarray(self.ordered[:half]), \
+                np.asarray(self.ordered[half:])
+            improvement = float(o.mean() - n.mean())
+            se = float(np.sqrt(o.var(ddof=1) / len(o) +
+                               n.var(ddof=1) / len(n)))
+            if improvement >= se:
+                return      # improvement is statistically positive
+            self._drop(model, score,
+                       f"trend stalled (improvement {improvement:.4g} "
+                       f"< s.e. {se:.4g})", verbose)
             return
         sample_size = self.recent_len // 3
         i = model.net.rng.rand_small_int(self.recent_len)
@@ -63,16 +117,8 @@ class Schedule:
             if score < self.recent[i]:
                 return
             i += 1
-        self.timeout = self.recent_len
-        model.learn_rate = max(self.learn_rate_min,
-                               model.learn_rate * self.learn_rate_mul)
-        if self.adjust_noise:
-            model.presynaptic_noise *= self.learn_rate_mul
-            model.periodic_weight_noise *= self.learn_rate_mul
-        if verbose:
-            print(f"generation {model.generation}: entropy {score:.4g} "
-                  f"exceeds {sample_size} recent samples; learn_rate -> "
-                  f"{model.learn_rate:.3g}")
+        self._drop(model, score,
+                   f"exceeds {sample_size} recent samples", verbose)
 
 
 class Ventropy:

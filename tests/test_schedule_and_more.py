@@ -51,6 +51,35 @@ class TestSchedule:
             score *= 0.9   # always improving
         assert model.learn_rate == 0.1
 
+    def test_trend_mode_holds_while_improving_through_noise(self):
+        # noise/slope chosen from the measured flagship regime
+        # (artifacts/endurance*: sigma_local ~ 0.008 per validation): a
+        # genuinely improving run must hold its rate through the noise.
+        for seed in range(6):
+            rng = np.random.RandomState(seed)
+            a, model = make_model()
+            model.learn_rate = 0.1
+            s = Schedule(recent_len=60, learn_rate_min=1e-6,
+                         learn_rate_mul=0.5, trend=True)
+            for i in range(800):
+                s.eval(model, 3.0 - 3e-4 * i + rng.normal(0, 0.008))
+            assert model.learn_rate == 0.1, seed
+
+    def test_trend_mode_drops_when_flat(self):
+        # a flat noisy stream must still trigger decay, but at a bounded
+        # rate: at most one drop per half-window + timeout.
+        rng = np.random.RandomState(1)
+        a, model = make_model()
+        model.learn_rate = 0.1
+        s = Schedule(recent_len=60, learn_rate_min=1e-6, learn_rate_mul=0.5,
+                     trend=True)
+        for _ in range(400):
+            s.eval(model, 2.0 + rng.normal(0, 0.008))
+        assert model.learn_rate < 0.1
+        assert model.learn_rate >= 1e-6
+        # bounded decay: <= 1 drop per (recent_len timeout + half window)
+        assert model.learn_rate >= 0.1 * 0.5 ** (400 // (60 + 30) + 1)
+
 
 class TestVentropy:
     def test_lapped_history(self):
