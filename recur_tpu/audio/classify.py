@@ -342,7 +342,7 @@ class AudioClassifier:
                  window_size: int = 256, hidden_size: int = 199,
                  mfccs: int = 0, delta_features: int = 0,
                  intensity_feature: int = 0,
-                 min_frequency: float = 100.0, max_frequency: float = 0.0,
+                 min_frequency: float = 60.0, max_frequency: float = 0.0,
                  knee_frequency: float = 700.0, focus_frequency: float = 0.0,
                  lag: float = 0.0, ignored_windows: int = 0,
                  learn_rate: float = 0.0001, momentum: float = 0.95,
@@ -357,13 +357,26 @@ class AudioClassifier:
                  force_load: bool = False, log_file: Optional[str] = None,
                  audio_rate: int = CLASSIFY_RATE,
                  window_type: WindowType = WindowType.HANN,
-                 pipeline_depth: int = 1, unroll: int = 1, mesh=None):
+                 pipeline_depth: int = 1, unroll: int = 1, mesh=None,
+                 confirmation_lag: float = 0.0,
+                 features_offset: Optional[str] = None,
+                 features_scale: Optional[str] = None,
+                 weight_init_scale: float = 0.0,
+                 weight_fan_in_sum: float = 0.0,
+                 weight_fan_in_kurtosis: float = 0.3,
+                 adagrad_ballast: float = 200.0,
+                 top_learn_rate_scale: float = 1.0,
+                 bottom_learn_rate_scale: float = 1.0,
+                 random_alignment: bool = False,
+                 weight_noise: float = 0.0,
+                 features_file: Optional[str] = None):
         self.groups = parse_classes_string(classes)
         self.classes_string = classes
         self.n_channels = n_channels
         self.window_size = window_size
         self.rate = audio_rate
         self.lag = lag
+        self.confirmation_lag = confirmation_lag
         self.ignored_windows = ignored_windows
         self.balanced_training_bias = balanced_training_bias
         self.momentum = momentum
@@ -376,7 +389,13 @@ class AudioClassifier:
         self.delta_features = delta_features
         self.intensity_feature = intensity_feature
         self.window_type = WindowType(window_type)
+        self.basename = basename
         self.net_basename = basename
+        self.random_alignment = bool(random_alignment)
+        self.weight_noise = weight_noise
+        self._skip_samples = 0
+        self._features_file = open(features_file, "w") if features_file \
+            else None
         # the binner always computes CLASSIFY_N_FFT_BINS mel-ish bins
         # (recur_audio_binner_new, gstclassify.c:962-968); mfccs selects how
         # many DCT coefficients of those 40 bins are kept as features
@@ -388,6 +407,16 @@ class AudioClassifier:
         self.n_raw_features = n_raw
         self.n_features = n_raw * (1 + delta_features)
         n_outputs = sum(g.n_classes for g in self.groups)
+
+        # feature normalisation (gstclassify.c:2040-2051) — allocated before
+        # the metadata render: the ctor's offset/scale strings are part of
+        # the metadata (and so the filename hash), exactly as the element's
+        # properties are at net-creation time (gstclassify.c:1240-1248)
+        self.feature_offsets = np.zeros(self.n_features, np.float32)
+        self.feature_scales = np.ones(self.n_features, np.float32)
+        self.set_feature_normalisation(
+            properties.parse_colon_floats(features_offset, self.n_features),
+            properties.parse_colon_floats(features_scale, self.n_features))
 
         metadata = self._construct_metadata()
         self.net_filename = net_filename or self._default_filename(
@@ -408,29 +437,49 @@ class AudioClassifier:
                 activation=Activation(activation),
                 bottom_input_size=self.n_features if bottom_layer else 0,
                 metadata=metadata)
+            # initialise_net (gstclassify.c:1043-1060): an explicit
+            # weight-fan-in-sum selects the fan-in method unless the init
+            # method itself was chosen (DWIM back-compatibility)
+            method = nn.InitMethod(weight_init_method)
+            if weight_fan_in_sum and weight_init_method == 1:
+                method = nn.InitMethod.FAN_IN
+            p = winit.default_init_params(self.net.cfg)
             p = dataclasses.replace(
-                winit.default_init_params(self.net.cfg),
-                method=nn.InitMethod(weight_init_method))
+                p, method=method,
+                fan_in_sum=weight_fan_in_sum or p.fan_in_sum,
+                fan_in_step=weight_fan_in_kurtosis)
             winit.randomise_weights(self.net, p)
+            if weight_init_scale:
+                winit.scale_initial_weights(self.net, weight_init_scale)
+            # create_net (gstclassify.c:1117-1122): per-matrix LR scales
+            self.net.ho_scale = top_learn_rate_scale
         cfg = self.net.cfg
         self.hyper = TrainHyper(
             learning_style=LearningMethod(learning_style),
             momentum_soft_start=momentum_soft_start,
             use_noise=presynaptic_noise > 0.0,
             condition=True,   # gstclassify conditions every window
+            bottom_learn_rate_scale=bottom_learn_rate_scale,
             unroll=max(1, int(unroll)))
         self.params = self.net.params
         self.bptt = nn.new_bptt_state(cfg, n_channels, learn_rate=learn_rate,
                                       momentum=momentum)
         self.bptt = dataclasses.replace(
-            self.bptt, generation=jnp.uint32(self.net.generation))
+            self.bptt, generation=jnp.uint32(self.net.generation),
+            ho_scale=jnp.float32(self.net.ho_scale))
+        if (LearningMethod(learning_style) == LearningMethod.ADAGRAD
+                and adagrad_ballast):
+            # rnn_set_momentum_values(net, ada_ballast), gstclassify.c:1111
+            self.bptt = dataclasses.replace(
+                self.bptt,
+                ih_momentum=jnp.full_like(self.bptt.ih_momentum,
+                                          adagrad_ballast),
+                ho_momentum=jnp.full_like(self.bptt.ho_momentum,
+                                          adagrad_ballast))
         self.state = nn.new_state(cfg, n_channels)
         self.key = jax.random.PRNGKey(rng_seed)
         self.log = KvLog(log_file)
 
-        # feature normalisation (gstclassify.c:2040-2051)
-        self.feature_offsets = np.zeros(self.n_features, np.float32)
-        self.feature_scales = np.ones(self.n_features, np.float32)
         # error weighting
         ew = np.ones(cfg.o_size, np.float32)
         if error_weight:
@@ -490,13 +539,18 @@ class AudioClassifier:
         """On load, the net file's stored feature/window parameters win over
         the constructor's (the element's metadata check, gstclassify.c:
         823-930): a net trained with one frontend must not silently be fed
-        another's features."""
+        another's features.  Unlike the reference (whose sscanf never
+        recovers them, gstclassify.c:898-916), the stored features-offset/
+        features-scale normalisation is reapplied here — a normalised
+        classifier stays normalised across a save/load round trip."""
         if not metadata:
             return
         kv = properties.parse_metadata(metadata)
         mismatches = []
+        string_keys = ("classes", "basename", "features_offset",
+                       "features_scale")
         for key, want in kv.items():
-            if key == "classes":
+            if key in string_keys:
                 continue
             got = getattr(self, key)
             if abs(float(want) - float(got)) > 1e-6:
@@ -506,6 +560,9 @@ class AudioClassifier:
             mismatches.append(("classes", self.classes_string, kv["classes"]))
             self.classes_string = kv["classes"]
             self.groups = parse_classes_string(kv["classes"])
+        if kv.get("basename"):
+            # load_specified_net adopts the file's basename
+            self.basename = self.net_basename = kv["basename"]
         if mismatches:
             import sys
             print("classify: net metadata overrides requested parameters: "
@@ -523,6 +580,18 @@ class AudioClassifier:
                      + self.intensity_feature)
             self.n_raw_features = n_raw
             self.n_features = n_raw * (1 + self.delta_features)
+        # rebuild the normalisation if the feature count was revised, then
+        # restore any persisted normalisation (file wins; a "(null)" file
+        # entry keeps the constructor's strings, matching the element where
+        # the property value fills unparsed metadata fields)
+        if len(self.feature_offsets) != self.n_features:
+            self.feature_offsets = np.zeros(self.n_features, np.float32)
+            self.feature_scales = np.ones(self.n_features, np.float32)
+        self.set_feature_normalisation(
+            properties.parse_colon_floats(kv.get("features_offset"),
+                                          self.n_features),
+            properties.parse_colon_floats(kv.get("features_scale"),
+                                          self.n_features))
 
     def _default_filename(self, basename, hidden_size, bottom_layer,
                           n_outputs, metadata) -> str:
@@ -544,7 +613,7 @@ class AudioClassifier:
         """Live property changes: learn-rate/momentum update traced scalars
         (no recompile), `target` re-parses the event string, `forget` resets
         recurrent state."""
-        key = self.PROPERTY_ALIASES.get(name, name)
+        key = self.PROPERTY_ALIASES.get(name, name.replace("-", "_"))
         if key == "learn_rate":
             self.learn_rate = float(value)
         elif key == "momentum":
@@ -553,10 +622,33 @@ class AudioClassifier:
             self.set_target_string(value)
         elif key == "_forget":
             self.forget()
+        elif key == "_pgm_dump":
+            # PROP_PGM_DUMP (gstclassify.c:1689-1694): dump weight images
+            # now, e.g. 'ihw how'
+            if value:
+                from recur_tpu.utils.pgm import multi_pgm_dump
+                self.net.params = self.params
+                multi_pgm_dump(self.net, value, self.basename)
+        elif key == "windows_per_second":
+            raise KeyError("windows-per-second is read-only")
+        elif key == "features_file":
+            if self._features_file:
+                self._features_file.close()
+            self._features_file = open(value, "w") if value else None
         elif hasattr(self, key):
             setattr(self, key, value)
         else:
             raise KeyError(f"unknown property {name!r}")
+
+    def get_property(self, name: str):
+        """Read a property by its kebab-case name (get_property,
+        gstclassify.c:1838-1920)."""
+        if name == "windows-per-second":
+            return self.rate * 2.0 / self.window_size
+        key = self.PROPERTY_ALIASES.get(name, name.replace("-", "_"))
+        if key == "_target_string":
+            return getattr(self, "_target_string", "")
+        return getattr(self, key)
 
     def forget(self):
         """The `forget` property: zero hidden state and BPTT history
@@ -575,6 +667,48 @@ class AudioClassifier:
             self.feature_offsets[:len(offsets)] = offsets
         if scales is not None:
             self.feature_scales[:len(scales)] = scales
+
+    # the metadata codec reads these as the colon-separated strings the
+    # reference's features-offset/features-scale properties hold (None →
+    # "(null)" when untouched, matching an unset property)
+    @property
+    def features_offset(self) -> Optional[str]:
+        return properties.render_colon_floats(self.feature_offsets, 0.0)
+
+    @property
+    def features_scale(self) -> Optional[str]:
+        return properties.render_colon_floats(self.feature_scales, 1.0)
+
+    def begin_set(self):
+        """Start-of-training-set hook (the element's per-pipeline setup(),
+        gstclassify.c:1330-1369): random-alignment phase shift and the
+        one-shot weight noise."""
+        if not self.training:
+            return
+        if self.random_alignment:
+            # gstclassify.c:1346-1357: shift the stream read point by a
+            # random offset in [-window/2, window/2): positive skips
+            # samples, negative prepends silence
+            offset = (self.net.rng.rand_small_int(self.window_size)
+                      - self.window_size // 2)
+            if offset >= 0:
+                self._skip_samples = offset
+            else:
+                self._pending = np.concatenate(
+                    [np.zeros((self.n_channels, -offset),
+                              self._pending.dtype if self._pending.size
+                              else np.float32), self._pending], axis=1)
+        if self.weight_noise:
+            self.apply_weight_noise(self.weight_noise)
+
+    def apply_weight_noise(self, wn: float):
+        """One-shot gaussian weight noise (rnn_weight_noise via
+        gstclassify.c:1363-1369); wn < 0 scales by -learn_rate."""
+        from recur_tpu.ops.conditioning import weight_noise as wnoise
+        if wn < 0:
+            wn *= -self.learn_rate
+        self.params = wnoise(self.net.cfg, self.params, self._next_key(),
+                             jnp.float32(wn))
 
     @property
     def generation(self) -> int:
@@ -600,6 +734,11 @@ class AudioClassifier:
         pcm = np.asarray(pcm)
         if pcm.ndim == 1:
             pcm = pcm.reshape(-1, self.n_channels).T
+        if self._skip_samples:
+            # random-alignment: drop the first offset samples of the set
+            n = min(self._skip_samples, pcm.shape[1])
+            pcm = pcm[:, n:]
+            self._skip_samples -= n
         if self._pending.dtype != pcm.dtype and self._pending.shape[1]:
             pcm = pcm.astype(self._pending.dtype)
         elif self._pending.shape[1] == 0:
@@ -700,9 +839,22 @@ class AudioClassifier:
             * jnp.asarray(self.feature_scales)
         return feats
 
+    def _dump_features(self, feats, n_real: int):
+        """features-file debug dump (gstclassify.c:2056-2062): one CSV-ish
+        line per channel per window.  Reads the features back from the
+        device, so it serialises the pipeline — debug only."""
+        f = np.asarray(feats)
+        for t in range(n_real):
+            for c in range(self.n_channels):
+                self._features_file.write(
+                    "channel %d," % c
+                    + ",".join("%5e" % v for v in f[t, c]) + "\n")
+
     def _train_frames(self, frames, real, n_real):
         T = frames.shape[0]
         feats = self._features_for_frames(frames, n_real)
+        if self._features_file:
+            self._dump_features(feats, n_real)
         targets = targets_for_windows(self.events, self.window_no, n_real,
                                       self.n_channels, len(self.groups),
                                       self._current_targets)
@@ -769,6 +921,8 @@ class AudioClassifier:
         feed() returns older blocks' messages — order preserved, the tail
         arriving from flush()."""
         feats = self._features_for_frames(frames, n_real)
+        if self._features_file:
+            self._dump_features(feats, n_real)
         targets = targets_for_windows(self.events, self.window_no, n_real,
                                       self.n_channels, len(self.groups),
                                       self._current_targets)
@@ -823,11 +977,15 @@ class AudioClassifier:
             out.extend(self._render_oldest_opinions())
         return out
 
-    def reset_state(self):
+    def reset_state(self) -> list[dict]:
         """Forget hidden state/history between files (the element gets a
-        stream restart)."""
+        stream restart).  In-flight inference blocks belong to the old
+        stream but their messages are still valid — they are rendered and
+        returned (rather than silently dropped) so a caller switching
+        streams with pipeline_depth > 1 never loses up to pipeline_depth-1
+        blocks of opinions."""
         self.drain_stats()
-        self._pending_opinions.clear()   # stale stream's results
+        tail = self.drain_opinions()
         self.state = nn.new_state(self.net.cfg, self.n_channels)
         if self.mesh is not None:
             from recur_tpu.parallel import mesh as pmesh
@@ -837,7 +995,9 @@ class AudioClassifier:
         self._pending = np.zeros((self.n_channels, 0), np.float32)
         self._prev_features = jnp.zeros_like(self._prev_features)
         self.window_no = 0
+        self._skip_samples = 0
         self._current_targets[:] = -1
+        return tail
 
     def save(self, filename: Optional[str] = None):
         self.drain_stats()
@@ -845,4 +1005,10 @@ class AudioClassifier:
         self.net.generation = self.generation
         self.net.learn_rate = self.learn_rate
         self.net.min_error_factor = float(self.bptt.min_error_factor[0])
+        # refresh the stored metadata so live-adjusted parameters — above
+        # all the feature normalisation — persist through the checkpoint
+        # (the reference renders its metadata from current property values
+        # at net-creation; re-rendering at save keeps the same contract
+        # while also capturing post-creation estimate_feature_normalisation)
+        self.net.metadata = self._construct_metadata()
         nn.save_net(self.net, filename or self.net_filename, backup=True)

@@ -357,6 +357,9 @@ class Trainer:
     def train_epoch(self):
         files = [next(self.trainers) for _ in range(self.files_per_epoch)]
         self.c.training = True
+        # per-set setup hook: random-alignment phase shift + one-shot weight
+        # noise (gst_classify_setup, gstclassify.c:1330-1369)
+        self.c.begin_set()
         t0 = time.time()
         w0 = self.c.window_no
         self._run_stream(self._assign_files(files))

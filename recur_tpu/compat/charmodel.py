@@ -376,7 +376,13 @@ class Net:
                 jnp.int32(ignore_start - i))
             sums += np.asarray(s[0], np.float64)
             count += float(c)
-        vals = [float(x) for x in sums / max(count, 1.0)]
+        if count == 0:
+            # a document with < 2 symbols has no transitions to score; 0.0
+            # would read as a perfect score to downstream ranking, so
+            # return NaN (the reference's 0/0 would likewise be NaN)
+            vals = [float("nan")] * self.n_classes
+        else:
+            vals = [float(x) for x in sums / count]
         if as_list:
             return vals
         return dict(zip(self.class_names, vals))

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Capacity × regularisation sweep for the erewhon char-LM quality headline.
+
+Round-2 established the h=199 operating point (presynaptic noise 0.1,
+multi-tap 256: validation 2.147 bits/char) and diagnosed it as
+capacity-limited.  Round-3's first h=399 probe showed the other side:
+capacity without matching regularisation overfits (training entropy falls
+to 1.45 while validation climbs past 2.5).  This driver runs short probes
+over (hidden size × presynaptic noise × weight noise) so the
+capacity/regularisation frontier is measured rather than guessed, then the
+winner gets a long run.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_sweep.py \
+        --workdir artifacts/sweep --generations 1200000
+
+Each probe is a text-predict subprocess (crash = that probe is marked
+failed, the sweep continues — same resilience stance as endurance.py).
+Results land in <workdir>/sweep.json.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (tag, extra text-predict args)
+PROBES = [
+    ("h399-n30", ["--hidden-size", "399", "--presynaptic-noise", "0.3"]),
+    ("h199-n20", ["--hidden-size", "199", "--presynaptic-noise", "0.2"]),
+    ("h399-n20-w", ["--hidden-size", "399", "--presynaptic-noise", "0.2",
+                    "--periodic-weight-noise", "0.002"]),
+    ("h799-n40", ["--hidden-size", "799", "--presynaptic-noise", "0.4"]),
+]
+
+
+def best_v_entropy(log_path: str):
+    best, best_gen, gen = None, 0, 0
+    try:
+        with open(log_path) as f:
+            for line in f:
+                if line.startswith("generation "):
+                    gen = int(float(line.split()[1]))
+                elif line.startswith("v_entropy "):
+                    v = float(line.split()[1])
+                    if best is None or v < best:
+                        best, best_gen = v, gen
+    except OSError:
+        return None, 0
+    return best, best_gen
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="artifacts/sweep")
+    p.add_argument("--generations", type=int, default=1_200_000)
+    p.add_argument("--multi-tap", type=int, default=256)
+    p.add_argument("--learn-rate", type=float, default=5e-6)
+    p.add_argument("--probes", default=None,
+                   help="comma-separated probe tags to run (default: all)")
+    p.add_argument("extra", nargs="*", help="extra args for every probe")
+    opt = p.parse_args(argv)
+
+    os.makedirs(opt.workdir, exist_ok=True)
+    record_path = os.path.join(opt.workdir, "sweep.json")
+    results = []
+    if os.path.exists(record_path):
+        results = json.load(open(record_path)).get("probes", [])
+    done = {r["tag"] for r in results if r.get("best_v_entropy")}
+    wanted = set(opt.probes.split(",")) if opt.probes else None
+
+    for tag, extra in PROBES:
+        if tag in done or (wanted is not None and tag not in wanted):
+            continue
+        log = os.path.join(opt.workdir, f"{tag}.log")
+        cmd = [sys.executable, "-m", "recur_tpu.cli.text_predict",
+               "--multi-tap", str(opt.multi_tap),
+               "--learn-rate", str(opt.learn_rate),
+               "--history-dtype", "bfloat16", "--unroll", "4",
+               "--validate-chars", "10000",
+               "--learn-rate-inertia", "120",
+               "--learn-rate-schedule", "trend",
+               "--learn-rate-min", "1e-7",
+               "--stop-after", str(opt.generations),
+               "--filename", os.path.join(opt.workdir, f"{tag}.net"),
+               "--log-file", log, "--quiet"] + extra + opt.extra
+        t0 = time.time()
+        print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
+        r = subprocess.run(cmd, cwd=REPO)
+        best, best_gen = best_v_entropy(log)
+        results.append({"tag": tag, "rc": r.returncode,
+                        "best_v_entropy": best, "best_at_gen": best_gen,
+                        "seconds": round(time.time() - t0, 1)})
+        print(f"sweep probe {tag}: best v_entropy {best} "
+              f"at gen {best_gen}", flush=True)
+        with open(record_path, "w") as f:
+            json.dump({"generations": opt.generations,
+                       "multi_tap": opt.multi_tap,
+                       "learn_rate": opt.learn_rate,
+                       "probes": results}, f, indent=1)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,3 +154,35 @@ class TestMultiheadBatch:
         assert "|" in out
         net.stop_confab()
         assert net._confab is None
+
+
+class TestAdviceFixes:
+    def test_unscorable_document_returns_nan(self):
+        """test() on a document with zero transitions must not report a
+        'perfect' 0.0 score (advisor round 2)."""
+        a = Alphabet(alphabet_chars=" abcdefg")
+        net = CharNet(a, ["x", "y"], 9, log_file=None)
+        scores = net.test(a.encode_text(b"a"))  # one symbol: no transitions
+        assert all(np.isnan(v) for v in scores.values())
+        scores2 = net.test(a.encode_text(b"abca"))   # scorable -> finite
+        assert all(np.isfinite(v) for v in scores2.values())
+
+    def test_score_results_truth_accepts_generic_positive(self, tmp_path):
+        import importlib.util
+        spec = importlib.util.spec_from_loader("score_results", loader=None)
+        import importlib.machinery
+        loader = importlib.machinery.SourceFileLoader(
+            "score_results", "/root/repo/scripts/score-results")
+        spec = importlib.util.spec_from_loader("score_results", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        p = tmp_path / "truth.txt"
+        p.write_text("a.wav 1\nb.wav 0\nc.wav M\nd.wav Mk\ne.wav 10\n")
+        truth = mod.load_truth(str(p), "M")
+        assert truth["a.wav"] is True     # generic 1/0-style positive
+        assert truth["b.wav"] is False
+        assert truth["c.wav"] is True     # exact
+        assert truth["d.wav"] is True     # group-0 char of 'Mk'
+        truth1 = mod.load_truth(str(p), "1")
+        assert truth1["a.wav"] is True
+        assert truth1["e.wav"] is False   # '10' is not a prefix match
