@@ -35,7 +35,7 @@ import numpy as np
 
 from recur_tpu.audio.classify import (AudioClassifier, ClassEvent,
                                       parse_target_string)
-from recur_tpu.audio.wavio import read_wav
+from recur_tpu.utils import avio
 from recur_tpu.audio import stats as cstats
 from recur_tpu.utils import colour
 
@@ -91,7 +91,7 @@ def estimate_feature_normalisation(classifier: AudioClassifier,
     classifier.feature_scales[:] = 1.0
     try:
         for f in files:
-            data, _ = read_wav(f.path, target_rate=classifier.rate)
+            data = avio.read_audio(f.path, classifier.rate)
             n = (len(data) - half) // half * half
             if n <= 0:
                 continue
@@ -172,7 +172,7 @@ def _stream_blocks(plans: list[list[LabelledFile]], rate: int,
                             ended[j] = True
                         break
                     f = queues[j].pop(0)
-                    data, _ = read_wav(f.path, target_rate=rate)
+                    data = avio.read_audio(f.path, rate)
                     bufs[j] = np.asarray(data, np.float32)
                     cursors[j] = 0
                     t0 = offsets[j] / rate

@@ -1,6 +1,11 @@
-"""classify-monitor: stream a WAV through a trained classifier and print a
+"""classify-monitor: stream audio through a trained classifier and print a
 live per-class unicode bar display (the classify-gtk/gtkdisplay.py pairing,
-headless)."""
+headless).
+
+The input is any avio source spec: a WAV file, `pipe:FIFO` / `pipe:-`
+carrying raw s16le at the classifier's rate (live microphone via external
+plumbing, e.g. `arecord -f S16_LE -r 8000 | classify-monitor pipe:-`), or
+`ffmpeg:SRC` where ffmpeg is available."""
 
 from __future__ import annotations
 
@@ -11,13 +16,14 @@ import numpy as np
 
 from recur_tpu import nn
 from recur_tpu.audio.classify import AudioClassifier
-from recur_tpu.audio.wavio import read_wav
+from recur_tpu.utils import avio
 from recur_tpu.utils.colour import C_NORMAL, bar_chart, colourise_float01
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="classify-monitor", description=__doc__)
-    p.add_argument("wav")
+    p.add_argument("input", help="audio source: WAV path, pipe:FIFO, "
+                                 "pipe:- (stdin s16le), or ffmpeg:SRC")
     p.add_argument("--net-filename", "-f", required=True)
     p.add_argument("--classes", "-c", required=True)
     p.add_argument("--window-size", "-w", type=int, default=256)
@@ -31,17 +37,20 @@ def main(argv=None) -> int:
                           hidden_size=loaded.cfg.hidden_size,
                           net_filename=opt.net_filename, force_load=True)
     clf.training = False
-    pcm, _ = read_wav(opt.wav, target_rate=clf.rate)
     group_keys = [(gi, g, [f"channel 0, group {gi} {ch}"
                            for ch in g.classes])
                   for gi, g in enumerate(clf.groups)]
     print(" time  " + " | ".join(g.classes for _, g, _ in group_keys))
     chunk = int(clf.rate * opt.interval)
-    for i in range(0, len(pcm) - chunk, chunk):
-        msgs = clf.feed(pcm[None, i:i + chunk]) + clf.flush()
+    t = 0
+    # stream block-by-block: a FIFO source displays live as audio arrives
+    for pcm in avio.audio_blocks(opt.input, clf.rate, channels=1,
+                                 block_samples=chunk):
+        msgs = clf.feed(pcm) + clf.flush()
+        t += pcm.shape[1]
         if not msgs:
             continue
-        cols = [f"{i / clf.rate:6.1f}"]
+        cols = [f"{t / clf.rate:6.1f}"]
         for gi, g, keys in group_keys:
             probs = np.mean([[m[k] for k in keys] for m in msgs], axis=0)
             best = int(np.argmax(probs))
@@ -49,7 +58,7 @@ def main(argv=None) -> int:
             cols.append(f"{bar_chart(probs, best)} "
                         f"{colour}{g.classes[best]} "
                         f"{probs[best]:.2f}{C_NORMAL}")
-        print(" ".join(cols))
+        print(" ".join(cols), flush=True)
     return 0
 
 

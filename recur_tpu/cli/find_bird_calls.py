@@ -12,7 +12,7 @@ import numpy as np
 
 from recur_tpu import nn
 from recur_tpu.audio.classify import AudioClassifier
-from recur_tpu.audio.wavio import read_wav
+from recur_tpu.utils import avio
 from recur_tpu.audio import stats as cstats
 
 
@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     win_secs = opt.window_size * 0.5 / clf.rate
     out = {}
     for path in opt.wavs:
-        pcm, _ = read_wav(path, target_rate=clf.rate)
+        pcm = avio.read_audio(path, clf.rate)
         clf.reset_state()
         msgs = clf.feed(pcm[None, :]) + clf.flush()
         scores = np.array([m[key] for m in msgs])

@@ -9,7 +9,8 @@ import sys
 import numpy as np
 
 from recur_tpu.audio.parrot import PARROT_RATE, Parrot
-from recur_tpu.audio.wavio import read_wav, write_wav
+from recur_tpu.audio.wavio import write_wav
+from recur_tpu.utils import avio
 
 
 def main(argv=None) -> int:
@@ -29,7 +30,7 @@ def main(argv=None) -> int:
                  window_size=opt.window_size, learn_rate=opt.learn_rate,
                  net_filename=opt.net_filename)
     if opt.train_audio:
-        pcm, _ = read_wav(opt.train_audio, target_rate=PARROT_RATE)
+        pcm = avio.read_audio(opt.train_audio, PARROT_RATE)
         chunk = PARROT_RATE  # 1s chunks
         for epoch in range(opt.epochs):
             mses = []

@@ -8,9 +8,9 @@ import argparse
 import sys
 
 
-from recur_tpu.audio.wavio import read_wav
 from recur_tpu.dsp.rescale import u8_thumbnail
-from recur_tpu.utils.video_io import read_y4m, write_y4m
+from recur_tpu.utils.avio import read_audio, video_frames
+from recur_tpu.utils.video_io import write_y4m
 from recur_tpu.video.recur_ctx import (
     AUDIO_RATE, CONSTRUCT_H, CONSTRUCT_W, RecurContext, WORKING_H, WORKING_W)
 
@@ -36,12 +36,12 @@ def main(argv=None) -> int:
                        net_filename=opt.net_filename)
     audio = None
     if opt.train_audio:
-        audio, _ = read_wav(opt.train_audio, target_rate=AUDIO_RATE)
+        audio = read_audio(opt.train_audio, AUDIO_RATE)
     if opt.train_video:
         samples_per_frame = AUDIO_RATE // opt.fps
         for epoch in range(opt.epochs):
             prev = None
-            for i, frame in enumerate(read_y4m(opt.train_video)):
+            for i, frame in enumerate(video_frames(opt.train_video)):
                 if audio is not None:
                     a0 = i * samples_per_frame
                     ctx.set_audio_window(audio[a0:a0 + 512])

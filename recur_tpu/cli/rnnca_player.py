@@ -8,13 +8,16 @@ import sys
 
 
 from recur_tpu.dsp.rescale import u8_thumbnail
-from recur_tpu.utils.video_io import read_y4m, write_y4m
+from recur_tpu.utils.avio import video_frames
+from recur_tpu.utils.video_io import write_y4m
 from recur_tpu.video.rnnca import Rnnca, RNNCA_HEIGHT, RNNCA_WIDTH
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rnnca-player", description=__doc__)
-    p.add_argument("--train-video", default=None, help="Y4M input video")
+    p.add_argument("--train-video", default=None,
+                   help="video source: Y4M path, pipe:FIFO (Y4M stream), "
+                        "or ffmpeg:SRC")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--out", "-o", default="rnnca-out.y4m")
     p.add_argument("--frames", "-n", type=int, default=200)
@@ -39,7 +42,7 @@ def main(argv=None) -> int:
     if opt.train_video:
         for epoch in range(opt.epochs):
             prev = None
-            for frame in read_y4m(opt.train_video):
+            for frame in video_frames(opt.train_video):
                 t = u8_thumbnail(frame, RNNCA_HEIGHT, RNNCA_WIDTH)
                 if prev is not None:
                     ca.train_frame_pair(prev, t)

@@ -23,9 +23,26 @@ def write_y4m(path: str, frames, width: int, height: int, fps: int = 20):
                 f.write(np.ascontiguousarray(half).tobytes())
 
 
-def read_y4m(path: str) -> Iterator[np.ndarray]:
-    """Yield [3, h, w] u8 YCbCr frames (chroma upsampled from 4:2:0)."""
-    with open(path, "rb") as f:
+def _read_exact(f, n: int) -> bytes:
+    """Read exactly n bytes; pipes/FIFOs deliver short reads."""
+    chunks = []
+    while n:
+        b = f.read(n)
+        if not b:
+            break
+        chunks.append(b)
+        n -= len(b)
+    return b"".join(chunks)
+
+
+def read_y4m(source) -> Iterator[np.ndarray]:
+    """Yield [3, h, w] u8 YCbCr frames (chroma upsampled from 4:2:0).
+
+    `source` is a path or an open binary stream — the latter lets Y4M
+    arrive over a FIFO or an `ffmpeg -f yuv4mpegpipe -` pipe (the
+    input-adapter seam, utils/avio.py)."""
+    f = open(source, "rb") if isinstance(source, str) else source
+    try:
         header = f.readline().decode()
         parts = header.split()
         w = h = 0
@@ -41,14 +58,26 @@ def read_y4m(path: str) -> Iterator[np.ndarray]:
             line = f.readline()
             if not line or not line.startswith(b"FRAME"):
                 break
-            y = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
+            raw = _read_exact(f, w * h)
+            if len(raw) < w * h:
+                break
+            y = np.frombuffer(raw, np.uint8).reshape(h, w)
             if c420:
                 cw, ch = w // 2, h // 2
-                cb = np.frombuffer(f.read(cw * ch), np.uint8).reshape(ch, cw)
-                cr = np.frombuffer(f.read(cw * ch), np.uint8).reshape(ch, cw)
+                raw = _read_exact(f, 2 * cw * ch)
+                if len(raw) < 2 * cw * ch:
+                    break
+                cb = np.frombuffer(raw[:cw * ch], np.uint8).reshape(ch, cw)
+                cr = np.frombuffer(raw[cw * ch:], np.uint8).reshape(ch, cw)
                 cb = cb.repeat(2, 0).repeat(2, 1)[:h, :w]
                 cr = cr.repeat(2, 0).repeat(2, 1)[:h, :w]
             else:
-                cb = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
-                cr = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
+                raw = _read_exact(f, 2 * w * h)
+                if len(raw) < 2 * w * h:
+                    break
+                cb = np.frombuffer(raw[:w * h], np.uint8).reshape(h, w)
+                cr = np.frombuffer(raw[w * h:], np.uint8).reshape(h, w)
             yield np.stack([y, cb, cr])
+    finally:
+        if isinstance(source, str):
+            f.close()
