@@ -108,7 +108,9 @@ def classify_compute_bench(unroll: int = 1) -> float:
     return T * C / dt
 
 
-def caravel_bench() -> float:
+def caravel_bench(walk_unroll: int = 1, unroll: int = 1,
+                  batch_size: int = 1, history_dtype: str = "float32"
+                  ) -> float:
     """Author-ID training throughput (chars/s) on the caravel shape the
     reference's charmodel.so was built for (py-recur-text.c:428-591;
     multi-text net i73-h99-o3650 = 50 heads x 73 symbols): train_batch over
@@ -124,7 +126,8 @@ def caravel_bench() -> float:
         chr(0x21 + i) for i in range(73)))
     classes = [f"c{i}" for i in range(50)]
     net = Net(alphabet, classes, 99, log_file=None, pipeline_depth=2,
-              presynaptic_noise=0.0)
+              presynaptic_noise=0.0, walk_unroll=walk_unroll, unroll=unroll,
+              batch_size=batch_size, history_dtype=history_dtype)
     rng = np.random.default_rng(0)
     texts = [rng.integers(0, 73, T, dtype=np.int32) for _ in range(S)]
     doc_classes = [classes[i % 50] for i in range(S)]
@@ -168,19 +171,26 @@ def main():
         # buffered big-einsum > factored one-hot > two-pass replay, the
         # latter ~2.2x slower) was raced in earlier rounds; the sweep now
         # keeps the two live contenders plus unroll variants.
-        configs = ((3072, 4096, jnp.bfloat16, "buffered", 1),
-                   (3584, 4096, jnp.bfloat16, "buffered", 1),
-                   (3584, 4096, jnp.bfloat16, "buffered", 4),
-                   (3584, 4096, jnp.bfloat16, "factored", 1),
-                   (4096, 4096, jnp.bfloat16, "factored", 1),
-                   (2048, 2048, jnp.bfloat16, "buffered", 4))
+        # (S, T, history dtype, impl, unroll, walk_unroll, batch)
+        # batch > 1 = the reference's --batch-size cadence run as the
+        # windowed batched-walk formulation (char_train_window_chunk)
+        configs = ((3584, 4096, jnp.bfloat16, "buffered", 1, 1, 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 4, 1, 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 4, 6, 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 4, 30, 1),
+                   (3584, 4096, jnp.bfloat16, "buffered", 8, 1, 16),
+                   (3584, 4096, jnp.bfloat16, "buffered", 8, 1, 32))
     else:
-        configs = ((64, 256, jnp.float32, "buffered", 1),)
-    def time_chunk(a_net, S, T, hdtype, impl, unroll=1, reps=8):
+        configs = ((64, 256, jnp.float32, "buffered", 1, 1, 1),)
+    def time_chunk(a_net, S, T, hdtype, impl, unroll=1, reps=8,
+                   walk_unroll=1, batch=1):
         """Median steps/s over the tail reps, with a device->host read as
         the per-iteration sync (block_until_ready can return early on
         queued work through the axon transport)."""
-        hyper = TrainHyper(condition=False, bptt_impl=impl, unroll=unroll)
+        hyper = TrainHyper(condition=False, bptt_impl=impl, unroll=unroll,
+                           walk_unroll=walk_unroll, batch_size=batch)
+        chunk_fn = (engine.char_train_window_chunk if batch > 1
+                    else engine.char_train_chunk)
         params = jax.device_put(jax.tree.map(jnp.copy, a_net.params))
         bptt = nn.new_bptt_state(a_net.cfg, S, 1e-4, 0.95)
         state = nn.new_state(a_net.cfg, S, history_dtype=hdtype,
@@ -192,20 +202,22 @@ def main():
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
-            params, bptt, state, tot = engine.char_train_chunk(
+            params, bptt, state, tot = chunk_fn(
                 a_net.cfg, hyper, params, bptt, state, tokens, key, *args)
             float(tot.entropy)
             times.append(time.perf_counter() - t0)
         dt = sorted(times[2:])[len(times[2:]) // 2]
         return S * T / dt
 
-    for S, T, hdtype, impl, unroll in configs:
-        rate = time_chunk(net, S, T, hdtype, impl, unroll)
-        print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl} u{unroll}: "
-              f"{rate:,.0f} steps/s", file=sys.stderr)
+    for S, T, hdtype, impl, unroll, wu, batch in configs:
+        rate = time_chunk(net, S, T, hdtype, impl, unroll, walk_unroll=wu,
+                          batch=batch)
+        print(f"# S={S} T={T} {jnp.dtype(hdtype).name} {impl} u{unroll} "
+              f"w{wu} b{batch}: {rate:,.0f} steps/s", file=sys.stderr)
         if rate > best:
             best = rate
-            best_cfg = (S, T, str(jnp.dtype(hdtype)), impl, unroll)
+            best_cfg = (S, T, str(jnp.dtype(hdtype)), impl, unroll, wu,
+                        batch)
 
     # the reference's big-net point (recur-nn.c:26-31 brags about h=1999):
     # one config, S=512 streams x T=2048 chunks
@@ -228,6 +240,26 @@ def main():
               f"(u1: {classify:,.0f})", file=sys.stderr)
         classify = max(classify, c4)
     caravel = caravel_bench()
+    caravel_configs = {"batch1": round(caravel, 0)}
+    if jax.default_backend() != "cpu":
+        # the h=100 shape is per-op-overhead-bound at batch_size=1 (50
+        # sequential micro-matmuls per char).  Race (a) walk-unroll on the
+        # per-char path, (b) the reference's own --batch-size cadence
+        # (py-recur-text.c batch_size kwarg) run as the windowed batched
+        # walk (multihead_train_window_chunk) where the whole window's
+        # backward batches [S*B] rows per depth step.
+        for kw in ({"walk_unroll": 50},
+                   {"batch_size": 8, "unroll": 8},
+                   {"batch_size": 32, "unroll": 8},
+                   {"batch_size": 32, "unroll": 8,
+                    "history_dtype": "bfloat16"}):
+            c = caravel_bench(**kw)
+            tag = ",".join(f"{k}={v}" for k, v in kw.items())
+            print(f"# caravel {tag}: {c:,.0f} chars/s "
+                  f"(batch1: {caravel_configs['batch1']:,.0f})",
+                  file=sys.stderr)
+            caravel_configs[tag] = round(c, 0)
+            caravel = max(caravel, c)
 
     print(json.dumps({
         "metric": "char-LM BPTT training throughput (h=199, depth=30, "
@@ -242,6 +274,7 @@ def main():
             "classify_c_baseline_windows_per_sec": round(classify_base, 0),
             "classify_vs_baseline": round(classify / classify_base, 1),
             "caravel_train_chars_per_sec": round(caravel, 0),
+            "caravel_configs": caravel_configs,
             "classify_note": "compute-only (device-resident PCM frames), "
                 "pipelined steady-state: window+FFT+40 log bins+h=199 fwd+"
                 "depth-30 BPTT+apply per window, 1000 channels; C baseline "

@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bottom-learn-rate-scale", type=float, default=1.0)
     a("--unroll", type=int, default=1,
       help="scan unroll factor (amortises per-iteration device overhead)")
+    a("--walk-unroll", type=int, default=1,
+      help="BPTT backward-walk unroll factor (amortises the per-depth-step "
+           "overhead of the walk's small matmuls; identical math)")
     a("--bptt-impl", default="buffered",
       choices=["buffered", "twopass", "factored"],
       help="BPTT gradient formulation: buffered einsum, twopass (trades "
@@ -230,6 +233,7 @@ def main(argv=None) -> int:
                       log=log, seed=opt.rng_seed,
                       history_dtype=jnp.dtype(opt.history_dtype),
                       bptt_impl=opt.bptt_impl, unroll=opt.unroll,
+                      walk_unroll=opt.walk_unroll,
                       periodic_pgm_dump=opt.periodic_pgm_dump,
                       temporal_pgm_dump=opt.temporal_pgm_dump,
                       basename=opt.basename)

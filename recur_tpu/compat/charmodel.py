@@ -27,6 +27,7 @@ from recur_tpu.models import alphabet as _alpha
 from recur_tpu.models.multihead import (
     multihead_spin,
     multihead_train_chunk,
+    multihead_train_window_chunk,
 )
 from recur_tpu.nn import Activation, Flag, InitMethod, LearningMethod
 from recur_tpu.ops import init as winit
@@ -107,7 +108,8 @@ class Net:
                  periodic_pgm_dump: Optional[str] = None,
                  periodic_pgm_period: int = 1000, batch_size: int = 1,
                  init_method: int = int(InitMethod.FLAT),
-                 pipeline_depth: int = 1,
+                 pipeline_depth: int = 1, unroll: int = 1,
+                 walk_unroll: int = 1, history_dtype: str = "float32",
                  _net: Optional[_nn.Net] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size {batch_size} won't work")
@@ -165,7 +167,10 @@ class Net:
             learning_style=LearningMethod(learning_method),
             batch_size=self.batch_size,
             use_noise=cfg.presynaptic_noise > 0.0,
-            condition=False)
+            condition=False, unroll=max(1, int(unroll)),
+            walk_unroll=max(1, int(walk_unroll)),
+            history_dtype=str(history_dtype))
+        self._hdtype = jnp.dtype(history_dtype)
         self._params = self.net.params
         self._bptt = _nn.new_bptt_state(cfg, 1, learn_rate=self.net.learn_rate,
                                         momentum=momentum)
@@ -177,7 +182,7 @@ class Net:
             self._set_momentum_values(DEFAULT_ADADELTA_BALLAST)
         elif learning_method == LearningMethod.RPROP:
             self._set_aux_values(1.0)
-        self._state = _nn.new_state(cfg, 1)
+        self._state = _nn.new_state(cfg, 1, history_dtype=self._hdtype)
         self._key = jax.random.PRNGKey(rng_seed & 0xFFFFFFFF)
         # confab
         self._confab = None
@@ -296,7 +301,7 @@ class Net:
 
     def _resize_streams(self, S: int):
         cfg = self.net.cfg
-        self._state = _nn.new_state(cfg, S)
+        self._state = _nn.new_state(cfg, S, history_dtype=self._hdtype)
         mef = jnp.full((S,), float(self._bptt.min_error_factor[0]),
                        jnp.float32)
         self._bptt = dataclasses.replace(
@@ -330,8 +335,15 @@ class Net:
         err = ent = None
         for i, n in self._chunk_spans(block.shape[1] - 1):
             piece = jnp.asarray(block[:, i:i + n + 1])
+            # batch_size > 1 uses the windowed-walk formulation wherever the
+            # bucket divides into apply windows; the per-char path covers
+            # the small tail buckets (and batch_size == 1 exactly)
+            chunk_fn = (multihead_train_window_chunk
+                        if self._hyper.batch_size > 1
+                        and n % self._hyper.batch_size == 0
+                        else multihead_train_chunk)
             (self._params, self._bptt, self._state,
-             stats) = multihead_train_chunk(
+             stats) = chunk_fn(
                 self.net.cfg, self._hyper, len(self.alphabet),
                 self._params, self._bptt, self._state,
                 piece, targets, jnp.float32(leakage), self._next_key(),

@@ -62,6 +62,12 @@ class TrainHyper:
     # multi-tap char path skips it (charmodel-predict.c:288-312); the
     # single-tap path (rnn_bptt_calculate) and gstclassify run it.
     condition: bool = True
+    # unroll factor for the BPTT backward walk's depth scan.  Each walk
+    # step is a small [S, h] x [h, i] matmul whose runtime is dominated by
+    # fixed per-op overhead at small hidden sizes (the caravel h=100 shape
+    # spends most of its step in the 50 sequential micro-matmuls);
+    # unrolling amortises the scan machinery without changing any math.
+    walk_unroll: int = 1
     # dtype for the BPTT history ring and error trajectory.  The backward
     # walk re-reads the whole ring every step, so at large stream counts
     # training is HBM-bound on it; bf16 halves that traffic.  f32 is exact
@@ -112,7 +118,8 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     # pad o_error back to o_size
     o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
 
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                   bptt.min_error_factor, bptt.learn_rate)
 
@@ -226,6 +233,122 @@ def char_train_chunk_xy(cfg: RnnConfig, hyper: TrainHyper,
                             momentum_target, presynaptic_noise)
 
 
+def _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                      momentum_target, presynaptic_noise):
+    """Windowed diachronic-batch training: scan over batch_size-char
+    windows, each = a thin forward scan + ONE [S*batch]-batched backward
+    walk + one weight apply (ops.core.calc_deltas_window) — the reference's
+    --batch-size cadence (recur-nn.c:980-997) scheduled TPU-first.  The
+    per-char serial chain shrinks to just the forward recurrence; the walk
+    and the optimizer amortise over the window.
+
+    xs/ys: [T, S] time-major; T must be a multiple of hyper.batch_size.
+    Same per-char math as the sequential path at equal batch_size; the
+    apply cadence counts from the chunk start, and the adaptive min-error
+    floor composes per window (calc_deltas_window's documented deviation).
+    """
+    from recur_tpu.ops.core import calc_deltas_window
+
+    B = hyper.batch_size
+    T, S = xs.shape
+    assert T % B == 0, f"chunk length {T} not a multiple of batch {B}"
+    assert not cfg.has_bottom, "windowed batch: bottom layer unsupported"
+    depth = cfg.depth
+    hdtype = state.history.dtype
+    ring_idx = (state.head + 1 + jnp.arange(depth)) % depth
+    tail0 = jnp.take(state.history, ring_idx, axis=1)        # [S, D, i]
+    xw_all = xs.reshape(T // B, B, S)
+    yw_all = ys.reshape(T // B, B, S)
+    keys = jax.random.split(key, T // B)
+
+    def window(carry, inp):
+        params, bptt, hidden, tail = carry
+        xw, yw, k = inp                                      # [B, S]
+        nkeys = jax.random.split(k, B)
+        momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                       hyper.momentum_soft_start)
+
+        def fstep(h, inp_t):
+            x_tok, nk_t = inp_t
+            x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
+            fwd = forward_step(cfg, params, h, x,
+                               noise_key=nk_t if hyper.use_noise else None,
+                               presynaptic_noise=presynaptic_noise)
+            return fwd.hidden, (fwd.input_row, fwd.hidden,
+                                fwd.output[:, :cfg.output_size])
+
+        hidden, (rows_w, hiddens_w, outs_w) = jax.lax.scan(
+            fstep, hidden, (xw, nkeys), unroll=hyper.unroll)
+
+        o_error, winner, p_target = softmax_best_guess_error(
+            outs_w.reshape(B * S, cfg.output_size), yw.reshape(B * S))
+        o_errors = jnp.pad(
+            o_error, ((0, 0), (0, cfg.o_size - cfg.output_size))).reshape(
+            B, S, cfg.o_size)
+        rows_full = jnp.concatenate(
+            [tail[:, 1:], jnp.moveaxis(rows_w, 0, 1).astype(hdtype)], axis=1)
+        d = calc_deltas_window(
+            cfg, params, rows_full, jnp.moveaxis(hiddens_w, 0, 1),
+            jnp.moveaxis(o_errors, 0, 1), bptt.min_error_factor,
+            bptt.learn_rate, walk_unroll=hyper.walk_unroll)
+        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                      d.ho_delta, None,
+                                      hyper.learning_style, momentum,
+                                      hyper.bottom_learn_rate_scale)
+        bptt = dataclasses.replace(bptt,
+                                   min_error_factor=d.min_error_factor,
+                                   ih_scale=d.stats["ih_scale"],
+                                   generation=bptt.generation + B)
+        stats = StepStats(
+            error=jnp.sum(1.0 - p_target),
+            entropy=jnp.sum(-capped_log2(p_target)),
+            correct=jnp.sum((winner == yw.reshape(B * S))
+                            .astype(jnp.float32)),
+            depth=jnp.sum(d.stats["depth"]),
+            ih_scale=jnp.sum(d.stats["ih_scale_sum"]),
+            top_error=jnp.sum(d.stats["top_error_scaled"]),
+            bptt_error=jnp.sum(d.stats["error_sum"]),
+        )
+        return (params, bptt, hidden, rows_full[:, -depth:]), stats
+
+    carry0 = (params, bptt, state.hidden, tail0)
+    (params, bptt, hidden, tail), stats = jax.lax.scan(
+        window, carry0, (xw_all, yw_all, keys))
+    # rebuild the ring (newest at head = depth-1) for interoperability with
+    # the per-char paths and checkpointing
+    state = dataclasses.replace(state, hidden=hidden, history=tail,
+                                head=jnp.int32(depth - 1))
+    totals = jax.tree.map(jnp.sum, stats)
+    return params, bptt, state, totals
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def char_train_window_chunk_xy(cfg: RnnConfig, hyper: TrainHyper,
+                               params: RnnParams, bptt: BpttState,
+                               state: RnnState, xs_tokens: jax.Array,
+                               ys_tokens: jax.Array, key: jax.Array,
+                               momentum_target: jax.Array,
+                               presynaptic_noise: jax.Array):
+    """char_train_chunk_xy with the windowed batch_size formulation."""
+    xs = jnp.moveaxis(xs_tokens, 1, 0)
+    ys = jnp.moveaxis(ys_tokens, 1, 0)
+    return _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                             momentum_target, presynaptic_noise)
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def char_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
+                            params: RnnParams, bptt: BpttState,
+                            state: RnnState, tokens: jax.Array,
+                            key: jax.Array, momentum_target: jax.Array,
+                            presynaptic_noise: jax.Array):
+    """char_train_chunk with the windowed batch_size formulation."""
+    xs = jnp.moveaxis(tokens[:, :-1], 1, 0)
+    ys = jnp.moveaxis(tokens[:, 1:], 1, 0)
+    return _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
+                             momentum_target, presynaptic_noise)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def char_forward_seq(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
                      tokens: jax.Array):
@@ -295,7 +418,8 @@ def dense_train_step(cfg: RnnConfig, hyper: TrainHyper,
     o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
 
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                   bptt.min_error_factor, bptt.learn_rate)
 

@@ -170,7 +170,7 @@ class CharModel:
                  periodic_weight_noise: float = 0.0,
                  log: Optional[KvLog] = None, seed: int = 0,
                  history_dtype=jnp.float32, bptt_impl: str = "buffered",
-                 unroll: int = 1,
+                 unroll: int = 1, walk_unroll: int = 1,
                  periodic_pgm_dump: str = "",
                  temporal_pgm_dump: bool = False, basename: str = "net"):
         self.net = net
@@ -183,7 +183,7 @@ class CharModel:
             batch_size=batch_size,
             use_noise=net.cfg.presynaptic_noise > 0.0,
             condition=False,  # char multi-tap path skips conditioning
-            bptt_impl=bptt_impl, unroll=unroll)
+            bptt_impl=bptt_impl, unroll=unroll, walk_unroll=walk_unroll)
         self.report_interval = report_interval
         self.save_net = save_net
         self.filename = filename
@@ -338,7 +338,16 @@ class CharModel:
             xs_tok = jnp.asarray(text[idx])
             ys_tok = jnp.asarray(text[idx + 1])
             self._sync_scalars()
-            self.params, self.bptt, self.state, totals = engine.char_train_chunk_xy(
+            # --batch-size > 1 runs the windowed batched-walk formulation
+            # wherever the piece divides into apply windows (the sequential
+            # path covers ragged tails and non-buffered impls exactly)
+            chunk_fn = (engine.char_train_window_chunk_xy
+                        if self.hyper.batch_size > 1
+                        and not self.cfg.has_bottom
+                        and self.hyper.bptt_impl == "buffered"
+                        and n % self.hyper.batch_size == 0
+                        else engine.char_train_chunk_xy)
+            self.params, self.bptt, self.state, totals = chunk_fn(
                 self.cfg, self.hyper, self.params, self.bptt, self.state,
                 xs_tok, ys_tok, self._next_key(), jnp.float32(self.momentum),
                 jnp.float32(self.presynaptic_noise))

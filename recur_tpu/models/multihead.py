@@ -75,7 +75,8 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
         jnp.take_along_axis(p, target_class[:, None, None], axis=1)[:, 0, :],
         y_tok[:, None], axis=1)[:, 0]
 
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
 
@@ -109,6 +110,112 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
         params, bptt = condition_net(cfg, params, bptt, ck)
     stats = MultiStats(error=1.0 - p_t, entropy=-capped_log2(p_t))
     return params, bptt, state, stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))
+def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
+                                 alphabet_len: int, params, bptt, state,
+                                 tokens, target_class, leakage, key,
+                                 momentum_target, presynaptic_noise):
+    """multihead training with hyper.batch_size = B > 1 as a scan over
+    B-char WINDOWS: a thin forward scan per window, then ONE [S*B]-batched
+    backward walk (ops.core.calc_deltas_window) and one weight apply — the
+    reference's own diachronic batch cadence
+    (charmodel-multi-predict.c:249-262) scheduled TPU-first.  T must be a
+    multiple of B (callers chunk accordingly).
+
+    vs the per-char path at batch_size=B: same per-char forward/backward
+    math; the apply happens every B chars from the CHUNK START (the
+    sequential path follows generation % B), and the adaptive
+    min_error_factor composes per window (see calc_deltas_window)."""
+    from recur_tpu.ops.core import calc_deltas_window
+
+    B = hyper.batch_size
+    S, T1 = tokens.shape
+    T = T1 - 1
+    assert T % B == 0, f"chunk length {T} not a multiple of batch {B}"
+    n_classes = cfg.output_size // alphabet_len
+    n_windows = T // B
+    depth = cfg.depth
+    hdtype = state.history.dtype
+
+    # the ring's last D rows, oldest -> newest (the window buffer's seed)
+    ring_idx = (state.head + 1 + jnp.arange(depth)) % depth
+    tail0 = jnp.take(state.history, ring_idx, axis=1)       # [S, D, i]
+
+    xs = jnp.moveaxis(tokens[:, :-1].reshape(S, n_windows, B), 1, 0)
+    ys = jnp.moveaxis(tokens[:, 1:].reshape(S, n_windows, B), 1, 0)
+    keys = jax.random.split(key, n_windows)
+
+    def window(carry, inp):
+        params, bptt, hidden, tail = carry
+        xw, yw, k = inp                                     # [S, B]
+        nk, lk = jax.random.split(k)
+        nkeys = jax.random.split(nk, B)
+        momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                       hyper.momentum_soft_start)
+
+        def fstep(h, inp_t):
+            x_tok, nk_t = inp_t
+            x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
+            fwd = forward_step(cfg, params, h, x,
+                               noise_key=nk_t if hyper.use_noise else None,
+                               presynaptic_noise=presynaptic_noise)
+            return fwd.hidden, (fwd.input_row, fwd.hidden, fwd.output)
+
+        hidden, (rows_w, hiddens_w, outputs_w) = jax.lax.scan(
+            fstep, hidden, (jnp.moveaxis(xw, 1, 0), nkeys),
+            unroll=hyper.unroll)
+        # [B, S, *] -> [S, B, *]
+        rows_w = jnp.moveaxis(rows_w, 0, 1)
+        hiddens_w = jnp.moveaxis(hiddens_w, 0, 1)
+        outputs_w = jnp.moveaxis(outputs_w, 0, 1)
+
+        logits = outputs_w[..., :n_classes * alphabet_len].reshape(
+            S, B, n_classes, alphabet_len)
+        p = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(yw, alphabet_len, dtype=jnp.float32)
+        head_err = onehot[:, :, None, :] - p                # [S, B, C, A]
+        is_target = (jnp.arange(n_classes)[None, None, :] ==
+                     target_class[:, None, None])           # [S, 1, C]
+        leak = jax.random.uniform(lk, (S, B, n_classes)) < leakage
+        active = (is_target | leak).astype(jnp.float32)
+        o_err = head_err * active[..., None]
+        o_errors = jnp.zeros((S, B, cfg.o_size), jnp.float32)
+        o_errors = o_errors.at[..., :n_classes * alphabet_len].set(
+            o_err.reshape(S, B, -1))
+        p_t = jnp.take_along_axis(
+            jnp.take_along_axis(
+                p, jnp.broadcast_to(target_class[:, None, None, None],
+                                    (S, B, 1, 1)), axis=2)[:, :, 0, :],
+            yw[:, :, None], axis=2)[:, :, 0]                # [S, B]
+
+        rows_full = jnp.concatenate(
+            [tail[:, 1:], rows_w.astype(hdtype)], axis=1)   # [S, D-1+B, i]
+        d = calc_deltas_window(cfg, params, rows_full, hiddens_w, o_errors,
+                               bptt.min_error_factor, bptt.learn_rate,
+                               walk_unroll=hyper.walk_unroll)
+        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                      d.ho_delta, None, hyper.learning_style,
+                                      momentum,
+                                      hyper.bottom_learn_rate_scale)
+        bptt = dataclasses.replace(bptt,
+                                   min_error_factor=d.min_error_factor,
+                                   ih_scale=d.stats["ih_scale"],
+                                   generation=bptt.generation + B)
+        stats = MultiStats(error=jnp.sum(1.0 - p_t),
+                           entropy=jnp.sum(-capped_log2(p_t)))
+        return (params, bptt, hidden, rows_full[:, -depth:]), stats
+
+    carry0 = (params, bptt, state.hidden, tail0)
+    (params, bptt, hidden, tail), stats = jax.lax.scan(
+        window, carry0, (xs, ys, keys))
+    # rebuild the ring (newest at head = depth-1) so save/reload and the
+    # per-char paths stay interoperable
+    state = RnnState(hidden=hidden, history=tail,
+                     head=jnp.int32(depth - 1),
+                     tokens=state.tokens)
+    return params, bptt, state, jax.tree.map(jnp.sum, stats)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5))

@@ -303,7 +303,7 @@ def _bptt_stats(su: _BpttSetup, depth, t_final, ih_scale, last_err,
 def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
                 bottom_inputs: Optional[jax.Array],
                 o_error: jax.Array, min_error_factor: jax.Array,
-                learn_rate: jax.Array) -> DeltaOut:
+                learn_rate: jax.Array, walk_unroll: int = 1) -> DeltaOut:
     """Batched rnn_bptt_calc_deltas (recur-nn.c:707-772).
 
     o_error: [S, o_size] top error (e.g. onehot-softmax), per stream.
@@ -367,7 +367,8 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
               jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
               jnp.zeros((S,), jnp.float32), cie0, eh_buf0)
     (e_h_fin, active_fin, last_err, k_active, cum_err, cie, eh_traj), _ = \
-        jax.lax.scan(step, carry0, jnp.arange(depth))
+        jax.lax.scan(step, carry0, jnp.arange(depth),
+                     unroll=min(walk_unroll, depth))
     # eh_traj: [S, depth, h_size] in RING-SLOT order (matches state.history)
 
     clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
@@ -419,7 +420,8 @@ def advance_history_factored(state: RnnState, input_row: jax.Array,
 
 def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
                          o_error: jax.Array, min_error_factor: jax.Array,
-                         learn_rate: jax.Array) -> DeltaOut:
+                         learn_rate: jax.Array,
+                         walk_unroll: int = 1) -> DeltaOut:
     """BPTT over the one-hot-factored ring (char models: the input section
     of every history row is one-hot).
 
@@ -495,7 +497,8 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
               jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
               jnp.zeros((S,), jnp.float32), eh_buf0)
     (e_fin, active_fin, last_err, k_active, cum_err, eh_traj), _ = \
-        jax.lax.scan(step, carry0, jnp.arange(depth))
+        jax.lax.scan(step, carry0, jnp.arange(depth),
+                     unroll=min(walk_unroll, depth))
     # eh_traj: [S, depth, h_size] in RING-SLOT order (matches state.history)
 
     clipped, ih_scale, t_final, new_mef = _bptt_epilogue(
@@ -532,7 +535,8 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
 def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                         bottom_inputs: Optional[jax.Array],
                         o_error: jax.Array, min_error_factor: jax.Array,
-                        learn_rate: jax.Array) -> DeltaOut:
+                        learn_rate: jax.Array,
+                        walk_unroll: int = 1) -> DeltaOut:
     """calc_deltas with the [S, depth, h] error-trajectory buffer replaced
     by a second backward walk.
 
@@ -591,7 +595,8 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                   jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
                   jnp.zeros((S,), jnp.float32), cie0, carry_extra0)
         (e_fin, active_fin, last_err, k_active, cum_err, cie, extra), _ = \
-            jax.lax.scan(step, carry0, jnp.arange(depth))
+            jax.lax.scan(step, carry0, jnp.arange(depth),
+                     unroll=min(walk_unroll, depth))
         return active_fin, last_err, k_active, cum_err, cie, extra
 
     # pass 1: outcomes only
@@ -626,7 +631,124 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                                       last_err, cum_err))
 
 
-def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False):
+def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
+                       hiddens: jax.Array, o_errors: jax.Array,
+                       min_error_factor: jax.Array, learn_rate: jax.Array,
+                       walk_unroll: int = 1) -> DeltaOut:
+    """Batched truncated BPTT over a WINDOW of B consecutive chars — the
+    diachronic `batch_size` semantics (rnn_bptt_calc_deltas accumulating,
+    apply every batch_size steps: recur-nn.c:980-997,
+    charmodel-multi-predict.c:249-262) reorganised TPU-first.
+
+    Within an apply window the reference's weights are CONSTANT, so the B
+    per-char depth-D backward walks are independent given the forward
+    trajectory.  Instead of B sequential walks of tiny [S, h] matmuls (the
+    per-op-overhead-bound shape that binds the caravel h=100 workload),
+    run ONE walk whose batch is [S*B]: depth step d slices the input rows
+    of chars t-d for every t at once from a [S, D-1+B, i] window buffer.
+    Two passes like calc_deltas_twopass: pass 1 outcomes (early exits,
+    emergency scales), pass 2 replays accumulating the scaled gradient.
+
+    Semantics vs the sequential batch path: identical math per char except
+    the adaptive min_error_factor, which the reference nudges once per char
+    *between* walks; here every char in the window uses the window-start
+    value and the per-char growth factors compose multiplicatively at the
+    end (drift bound: B tiny 1e-3-scale factors).  batch_size=1 callers
+    keep the exact per-char path.
+
+    rows:    [S, D-1+B, i_size] input rows, row k = char (k - D + 1)'s
+             input layer (any float dtype; bf16 halves the walk traffic)
+    hiddens: [S, B, h_size] post-activation hidden at each char
+    o_errors:[S, B, o_size] top errors per char
+    """
+    assert not cfg.has_bottom, "windowed BPTT: bottom layer not supported"
+    S, B = o_errors.shape[:2]
+    depth = cfg.depth
+    N = S * B
+    hmask = _hidden_mask(cfg)
+    mef_flat = jnp.broadcast_to(min_error_factor[:, None], (S, B)).reshape(N)
+    su = _bptt_setup(cfg, params, hiddens.reshape(N, cfg.h_size),
+                     o_errors.reshape(N, cfg.o_size), mef_flat, learn_rate)
+    e0 = su.h_err0.reshape(S, B, cfg.h_size)
+    min_es = su.min_error_sum.reshape(S, B)
+    max_es = su.max_error_sum.reshape(S, B)
+
+    def walk(step_extra, extra0):
+        def step(carry, d):
+            e_h, active, last_err, k_active, cum_err, extra = carry
+            e_h = e_h * hmask
+            inputs_d = jax.lax.dynamic_slice_in_dim(
+                rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
+            m = _row_mask(cfg, inputs_d)
+            e_full = (e_h.reshape(N, cfg.h_size) @ params.ih.T).reshape(
+                S, B, cfg.i_size)
+            if cfg.activation == Activation.RESQRT:
+                e_full = e_full / (2.0 * (inputs_d + 1.0))
+            e_full = jnp.where(m, e_full, 0.0)
+            err_sum = jnp.sum(e_full * e_full, axis=2)        # [S, B]
+            act_f = active.astype(jnp.float32)
+            y_eh = e_h * act_f[..., None]
+            extra = step_extra(extra, inputs_d, y_eh)
+            cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+            last_err = jnp.where(active, err_sum, last_err)
+            k_active = k_active + active.astype(jnp.int32)
+            trip = (err_sum <= min_es) | (err_sum > max_es)
+            active = active & ~trip
+            return (e_full[..., :cfg.h_size], active, last_err, k_active,
+                    cum_err, extra), None
+
+        z = jnp.zeros((S, B), jnp.float32)
+        carry0 = (e0, jnp.ones((S, B), bool), z,
+                  jnp.zeros((S, B), jnp.int32), z, extra0)
+        (e_fin, active_fin, last_err, k_active, cum_err, extra), _ = \
+            jax.lax.scan(step, carry0, jnp.arange(depth),
+                         unroll=min(walk_unroll, depth))
+        return active_fin, last_err, k_active, cum_err, extra
+
+    # pass 1: outcomes only
+    active_fin, last_err, k_active, cum_err, _ = walk(
+        lambda extra, inputs_d, y_eh: extra, None)
+    clipped, ih_scale, t_final, new_mef_flat = _bptt_epilogue(
+        cfg, su, mef_flat, last_err.reshape(N), active_fin.reshape(N),
+        k_active.reshape(N), depth)
+    scale = ih_scale.reshape(S, B)
+
+    # pass 2: replay, accumulating scale_(s,b) * inputs x y_eh into [i, h]
+    def accumulate(acc, inputs_d, y_eh):
+        if cfg.activation == Activation.RECLIP20:
+            inputs_d = jnp.where(_row_mask(cfg, inputs_d), inputs_d, 0.0)
+        return acc + jnp.einsum(
+            "sbi,sbh->ih", inputs_d, y_eh * scale[..., None],
+            preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
+    *_, ih_delta = walk(accumulate, acc0)
+
+    # compose the B per-char adaptive-floor nudges (each computed from the
+    # window-start value) into one update
+    factors = (new_mef_flat / mef_flat).reshape(S, B)
+    new_mef = jnp.clip(min_error_factor * jnp.prod(factors, axis=1),
+                       ABS_MIN_ERROR_FACTOR, MAX_MIN_ERROR_FACTOR)
+
+    # char-summed forms (matching a per-char path's Σ over the window) plus
+    # the last char's [S] emergency scale for the live BpttState field
+    stats = {
+        "depth": (depth - t_final.reshape(S, B)).astype(jnp.float32).sum(1),
+        "ih_scale": scale[:, -1],
+        "ih_scale_sum": scale.sum(1),
+        "top_error_raw": su.top_error_sum.reshape(S, B).sum(1),
+        "top_error_scaled": su.top_scaled.reshape(S, B).sum(1),
+        "error_sum": last_err.sum(1),
+        "cum_error": cum_err.sum(1),
+        "min_error_threshold": min_es[:, -1],
+    }
+    return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
+                    bottom_delta=None, min_error_factor=new_mef,
+                    stats=stats)
+
+
+def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False,
+                         walk_unroll: int = 1):
     """Map TrainHyper.bptt_impl to a calc_deltas implementation with a
     uniform (cfg, params, state, bottom_inputs, o_error, min_error_factor,
     learn_rate) signature.
@@ -636,10 +758,11 @@ def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False):
     features (audio, video, rnnumpy) or haven't wired a factored state must
     reject it loudly rather than silently training with another formulation.
     """
+    from functools import partial as _partial
     if bptt_impl == "buffered":
-        return calc_deltas
+        return _partial(calc_deltas, walk_unroll=walk_unroll)
     if bptt_impl == "twopass":
-        return calc_deltas_twopass
+        return _partial(calc_deltas_twopass, walk_unroll=walk_unroll)
     if bptt_impl == "factored":
         if not factored_ok:
             raise ValueError(
@@ -651,7 +774,8 @@ def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False):
                learn_rate):
             assert bottom_inputs is None, "factored BPTT has no bottom layer"
             return calc_deltas_factored(cfg, params, state, o_error,
-                                        min_error_factor, learn_rate)
+                                        min_error_factor, learn_rate,
+                                        walk_unroll=walk_unroll)
         return fn
     raise ValueError(f"unknown bptt_impl {bptt_impl!r}; expected 'buffered',"
                      " 'twopass' or 'factored'")

@@ -348,10 +348,43 @@ def test_dispatch_calc_deltas_guards():
     import pytest
     from recur_tpu.ops.core import (calc_deltas, calc_deltas_twopass,
                                     dispatch_calc_deltas)
-    assert dispatch_calc_deltas("buffered") is calc_deltas
-    assert dispatch_calc_deltas("twopass") is calc_deltas_twopass
+    assert dispatch_calc_deltas("buffered").func is calc_deltas
+    assert dispatch_calc_deltas("twopass").func is calc_deltas_twopass
     assert callable(dispatch_calc_deltas("factored", factored_ok=True))
     with pytest.raises(ValueError, match="factored"):
         dispatch_calc_deltas("factored")
     with pytest.raises(ValueError, match="unknown"):
         dispatch_calc_deltas("einsum")
+
+
+def test_walk_unroll_is_bit_identical():
+    """The backward-walk unroll knob is pure scheduling: gradients must be
+    bit-identical at any unroll factor."""
+    import dataclasses as dc
+    from recur_tpu import nn
+    from recur_tpu.ops import init as winit
+    from recur_tpu.ops.core import calc_deltas, calc_deltas_twopass
+    net = nn.new_net(9, 15, 9, rng_seed=7, depth=10)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    S = 4
+    rng = np.random.default_rng(0)
+    state = nn.new_state(cfg, S)
+    hist = rng.normal(0, 0.5, (S, cfg.depth, cfg.i_size)).astype(np.float32)
+    hist[:, :, 0] = 1.0
+    state = dc.replace(state, history=jnp.asarray(np.abs(hist)),
+                       hidden=jnp.asarray(
+                           np.abs(rng.normal(0, 1, (S, cfg.h_size))
+                                  .astype(np.float32))))
+    o_err = jnp.asarray(rng.normal(0, 1, (S, cfg.o_size)).astype(np.float32))
+    mef = jnp.full((S,), 0.01, jnp.float32)
+    for fn in (calc_deltas, calc_deltas_twopass):
+        base = fn(cfg, net.params, state, None, o_err, mef,
+                  jnp.float32(1e-3))
+        for u in (3, 10):
+            d = fn(cfg, net.params, state, None, o_err, mef,
+                   jnp.float32(1e-3), walk_unroll=u)
+            np.testing.assert_array_equal(np.asarray(base.ih_delta),
+                                          np.asarray(d.ih_delta))
+            np.testing.assert_array_equal(np.asarray(base.ho_delta),
+                                          np.asarray(d.ho_delta))

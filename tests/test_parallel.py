@@ -275,3 +275,92 @@ def test_classify_channel_sharding():
                 assert abs(va - vb) < 1e-3, (k, va, vb)
             else:
                 assert va == vb, (k, va, vb)
+
+
+def test_multihead_windowed_batch_equals_sequential():
+    """The windowed-walk batch path (multihead_train_window_chunk) must
+    reproduce the per-char path at the same batch_size (adaptive min-error
+    off: the windowed path composes the floor per window, which is the one
+    documented deviation; leakage 0 for identical head masks)."""
+    from recur_tpu.models.multihead import (multihead_train_chunk,
+                                            multihead_train_window_chunk)
+
+    alphabet_len, n_classes = 8, 4
+    S, T, B = 4, 16, 4
+    net = nn.new_net(alphabet_len, 15, alphabet_len * n_classes, rng_seed=2,
+                     depth=5, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False, batch_size=B,
+                       learning_style=nn.LearningMethod.ADAGRAD)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, alphabet_len, (S, T + 1)))
+    target_class = jnp.asarray(rng.integers(0, n_classes, S))
+    args = (jnp.float32(0.0), jax.random.PRNGKey(1), jnp.float32(0.9),
+            jnp.float32(0.0))
+
+    def fresh():
+        return (jax.tree.map(jnp.copy, net.params),
+                nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+
+    p1, b1, s1, st1 = multihead_train_chunk(
+        cfg, hyper, alphabet_len, *fresh(), tokens, target_class, *args)
+    p2, b2, s2, st2 = multihead_train_window_chunk(
+        cfg, hyper, alphabet_len, *fresh(), tokens, target_class, *args)
+
+    np.testing.assert_allclose(np.asarray(p2.ih), np.asarray(p1.ih),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2.ho), np.asarray(p1.ho),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.hidden), np.asarray(s1.hidden),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(st2.entropy), float(st1.entropy),
+                               rtol=1e-5)
+    assert int(b2.generation) == int(b1.generation) == T
+    # the ring rebuild leaves the same rows (slot order may differ): compare
+    # as sets via sorted rows
+    r1 = np.sort(np.asarray(s1.history).reshape(S, -1), axis=1)
+    r2 = np.sort(np.asarray(s2.history).reshape(S, -1), axis=1)
+    np.testing.assert_allclose(r2, r1, rtol=2e-5, atol=1e-6)
+
+
+def test_char_windowed_batch_equals_sequential():
+    """engine.char_train_window_chunk must reproduce the sequential path at
+    the same batch_size (adaptive min-error off, noise off)."""
+    S, T, B = 4, 24, 4
+    net = nn.new_net(9, 15, 9, rng_seed=3, depth=6, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False, batch_size=B)
+    tokens = jnp.asarray(np.random.default_rng(4).integers(0, 9, (S, T + 1)))
+    args = (jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0))
+
+    def fresh():
+        return (jax.tree.map(jnp.copy, net.params),
+                nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+
+    p1, b1, s1, t1 = engine.char_train_chunk(cfg, hyper, *fresh(), tokens,
+                                             *args)
+    p2, b2, s2, t2 = engine.char_train_window_chunk(cfg, hyper, *fresh(),
+                                                    tokens, *args)
+    np.testing.assert_allclose(np.asarray(p2.ih), np.asarray(p1.ih),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2.ho), np.asarray(p1.ho),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.hidden), np.asarray(s1.hidden),
+                               rtol=2e-5, atol=1e-6)
+    for field in ("error", "entropy", "correct", "depth"):
+        np.testing.assert_allclose(float(getattr(t2, field)),
+                                   float(getattr(t1, field)), rtol=1e-4,
+                                   err_msg=field)
+    # carried state keeps training equivalently: run a second chunk each way
+    p1, b1, s1, t1 = engine.char_train_chunk(cfg, hyper, p1, b1, s1, tokens,
+                                             *args)
+    p2, b2, s2, t2 = engine.char_train_window_chunk(cfg, hyper, p2, b2, s2,
+                                                    tokens, *args)
+    np.testing.assert_allclose(np.asarray(p2.ih), np.asarray(p1.ih),
+                               rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(float(t2.entropy), float(t1.entropy),
+                               rtol=1e-4)
