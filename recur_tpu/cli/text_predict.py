@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--walk-unroll", type=int, default=1,
       help="BPTT backward-walk unroll factor (amortises the per-depth-step "
            "overhead of the walk's small matmuls; identical math)")
+    a("--ema-weight", type=float, default=0.0,
+      help="per-generation decay for Polyak weight averaging (e.g. "
+           "0.9999); validation then scores the averaged net, saved "
+           "alongside as <net>.ema (beyond-reference extension)")
     a("--bptt-impl", default="buffered",
       choices=["buffered", "twopass", "factored"],
       help="BPTT gradient formulation: buffered einsum, twopass (trades "
@@ -234,6 +238,7 @@ def main(argv=None) -> int:
                       history_dtype=jnp.dtype(opt.history_dtype),
                       bptt_impl=opt.bptt_impl, unroll=opt.unroll,
                       walk_unroll=opt.walk_unroll,
+                      ema_weight=opt.ema_weight,
                       periodic_pgm_dump=opt.periodic_pgm_dump,
                       temporal_pgm_dump=opt.temporal_pgm_dump,
                       basename=opt.basename)

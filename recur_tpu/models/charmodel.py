@@ -172,7 +172,8 @@ class CharModel:
                  history_dtype=jnp.float32, bptt_impl: str = "buffered",
                  unroll: int = 1, walk_unroll: int = 1,
                  periodic_pgm_dump: str = "",
-                 temporal_pgm_dump: bool = False, basename: str = "net"):
+                 temporal_pgm_dump: bool = False, basename: str = "net",
+                 ema_weight: float = 0.0):
         self.net = net
         self.alphabet = alphabet
         self.cfg = net.cfg
@@ -220,9 +221,25 @@ class CharModel:
                                   history_dtype=history_dtype,
                                   factored=(bptt_impl == "factored"))
         self.key = jax.random.PRNGKey(seed)
+        # Polyak/EMA weight averaging (beyond-reference extension): keep an
+        # exponential moving average of the weights on device, updated once
+        # per chunk with the per-generation decay compounded; validation
+        # scores the averaged net (v_entropy) alongside the raw one
+        # (v_entropy_raw).  SGD-with-momentum trajectories on this model
+        # family oscillate around the valley floor; the average sits lower.
+        self.ema_weight = float(ema_weight)
+        self.ema_params = (jax.tree.map(jnp.copy, self.params)
+                           if self.ema_weight > 0.0 else None)
         # confab state
         self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
         self._confab_char = 0
+
+    def _update_ema(self, n_gens: int):
+        if self.ema_params is None:
+            return
+        f = jnp.float32(self.ema_weight ** n_gens)
+        self.ema_params = jax.tree.map(
+            lambda e, p: e * f + p * (1.0 - f), self.ema_params, self.params)
 
     @property
     def generation(self) -> int:
@@ -352,6 +369,7 @@ class CharModel:
                 xs_tok, ys_tok, self._next_key(), jnp.float32(self.momentum),
                 jnp.float32(self.presynaptic_noise))
             self._pull_scalars()
+            self._update_ema(n)
             acc["error"] += float(totals.error)
             acc["entropy"] += float(totals.entropy)
             acc["correct"] += float(totals.correct)
@@ -392,7 +410,11 @@ class CharModel:
         t_entropy = acc["entropy"] / n
         t_error = acc["error"] / n
         accuracy = acc["correct"] / n
-        vent = ventropy.calc(self.params) if ventropy else 0.0
+        # with EMA averaging on, validation (and hence the adaptive
+        # schedule) scores the averaged weights
+        v_params = self.ema_params if self.ema_params is not None \
+            else self.params
+        vent = ventropy.calc(v_params) if ventropy else 0.0
         if confab_size and quietness < 1:
             k = self.generation >> 10
             confab = self.confabulate(confab_size, confab_bias)
@@ -450,10 +472,17 @@ class CharModel:
             self.save(self.filename, backup=True)
 
     def save(self, filename: str, backup: bool = False):
-        """Sync device state back into the host Net and write the .net file."""
+        """Sync device state back into the host Net and write the .net file.
+        With EMA averaging on, the averaged net (the one validation scores)
+        is saved alongside as <filename>.ema."""
         self.net.params = self.params
         self.net.generation = self.generation
         self.net.learn_rate = float(self.learn_rate)
         self.net.momentum = float(self.momentum)
         self.net.min_error_factor = float(self.bptt.min_error_factor[0])
         nn.save_net(self.net, filename, backup=backup)
+        if self.ema_params is not None:
+            raw = self.net.params
+            self.net.params = self.ema_params
+            nn.save_net(self.net, filename + ".ema", backup=False)
+            self.net.params = raw

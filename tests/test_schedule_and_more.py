@@ -186,3 +186,24 @@ class TestAdviceFixes:
         truth1 = mod.load_truth(str(p), "1")
         assert truth1["a.wav"] is True
         assert truth1["e.wav"] is False   # '10' is not a prefix match
+
+
+class TestEmaAveraging:
+    def test_ema_tracks_and_scores_and_saves(self, tmp_path):
+        a, model = make_model(report_interval=64, ema_weight=0.99)
+        model.filename = str(tmp_path / "e.net")
+        model.save_net = True
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 700).astype(np.int32)
+        v = Ventropy(model.cfg, text[:100].astype(np.int32))
+        model.epoch(text, ventropy=v, quietness=3)
+        # the EMA weights lag the raw ones but are not equal or zero
+        ih_raw = np.asarray(model.params.ih)
+        ih_ema = np.asarray(model.ema_params.ih)
+        assert not np.allclose(ih_raw, ih_ema)
+        assert np.abs(ih_ema).max() > 0
+        model.save(model.filename)
+        assert (tmp_path / "e.net.ema").exists()
+        ema_net = nn.load_net(str(tmp_path / "e.net.ema"))
+        np.testing.assert_allclose(np.asarray(ema_net.params.ih), ih_ema,
+                                   rtol=1e-6)
