@@ -217,7 +217,8 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
     correct = jnp.sum((winner == targets) & keep)
     trained = jnp.sum(keep)
 
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
 
@@ -357,7 +358,8 @@ class AudioClassifier:
                  force_load: bool = False, log_file: Optional[str] = None,
                  audio_rate: int = CLASSIFY_RATE,
                  window_type: WindowType = WindowType.HANN,
-                 pipeline_depth: int = 1, unroll: int = 1, mesh=None,
+                 pipeline_depth: int = 1, unroll: int = 1,
+                 walk_unroll: int = 1, mesh=None,
                  confirmation_lag: float = 0.0,
                  features_offset: Optional[str] = None,
                  features_scale: Optional[str] = None,
@@ -460,7 +462,8 @@ class AudioClassifier:
             use_noise=presynaptic_noise > 0.0,
             condition=True,   # gstclassify conditions every window
             bottom_learn_rate_scale=bottom_learn_rate_scale,
-            unroll=max(1, int(unroll)))
+            unroll=max(1, int(unroll)),
+            walk_unroll=max(1, int(walk_unroll)))
         self.params = self.net.params
         self.bptt = nn.new_bptt_state(cfg, n_channels, learn_rate=learn_rate,
                                       momentum=momentum)

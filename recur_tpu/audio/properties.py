@@ -166,6 +166,8 @@ CLASSIFY_PROPERTIES: tuple[Prop, ...] = (
     Prop("unroll", int, 1,
          "window-scan unroll factor (identical math; trades compile time "
          "for per-iteration overhead)", rng=(1, 16)),
+    Prop("walk-unroll", int, 1,
+         "BPTT backward-walk unroll factor (identical math)", rng=(1, 64)),
     # --- read-only ---
     Prop("windows-per-second", float, 0.0,
          "analysis windows per second = rate*2/window-size "
