@@ -267,32 +267,39 @@ def _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
         nkeys = jax.random.split(k, B)
         momentum = momentum_soft_start(bptt.generation, momentum_target,
                                        hyper.momentum_soft_start)
+        mef = bptt.min_error_factor
 
-        def fstep(h, inp_t):
-            x_tok, nk_t = inp_t
+        # forward + top-layer backprop per char (window_bptt_setup): only
+        # [S, h] errors and [S] thresholds buffer across the window
+        def fstep(carry_t, inp_t):
+            h, ho_acc = carry_t
+            x_tok, y_tok, nk_t = inp_t
             x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
             fwd = forward_step(cfg, params, h, x,
                                noise_key=nk_t if hyper.use_noise else None,
                                presynaptic_noise=presynaptic_noise)
-            return fwd.hidden, (fwd.input_row, fwd.hidden,
-                                fwd.output[:, :cfg.output_size])
+            o_error, winner, p_target = softmax_best_guess_error(
+                fwd.output[:, :cfg.output_size], y_tok)
+            o_error = jnp.pad(
+                o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
+            from recur_tpu.ops.core import window_bptt_setup
+            su, ho_delta = window_bptt_setup(cfg, params, fwd.hidden,
+                                             o_error, mef, bptt.learn_rate)
+            return (fwd.hidden, ho_acc + ho_delta), (
+                fwd.input_row, su, winner, p_target)
 
-        hidden, (rows_w, hiddens_w, outs_w) = jax.lax.scan(
-            fstep, hidden, (xw, nkeys), unroll=hyper.unroll)
+        ho0 = jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32)
+        (hidden, ho_delta), (rows_w, su_w, winners, p_target) = jax.lax.scan(
+            fstep, (hidden, ho0), (xw, yw, nkeys), unroll=hyper.unroll)
+        su_w = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), su_w)
 
-        o_error, winner, p_target = softmax_best_guess_error(
-            outs_w.reshape(B * S, cfg.output_size), yw.reshape(B * S))
-        o_errors = jnp.pad(
-            o_error, ((0, 0), (0, cfg.o_size - cfg.output_size))).reshape(
-            B, S, cfg.o_size)
         rows_full = jnp.concatenate(
             [tail[:, 1:], jnp.moveaxis(rows_w, 0, 1).astype(hdtype)], axis=1)
         d = calc_deltas_window(
-            cfg, params, rows_full, jnp.moveaxis(hiddens_w, 0, 1),
-            jnp.moveaxis(o_errors, 0, 1), bptt.min_error_factor,
+            cfg, params, rows_full, su_w, mef,
             bptt.learn_rate, walk_unroll=hyper.walk_unroll)
         params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
-                                      d.ho_delta, None,
+                                      ho_delta, None,
                                       hyper.learning_style, momentum,
                                       hyper.bottom_learn_rate_scale)
         bptt = dataclasses.replace(bptt,
@@ -302,8 +309,7 @@ def _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
         stats = StepStats(
             error=jnp.sum(1.0 - p_target),
             entropy=jnp.sum(-capped_log2(p_target)),
-            correct=jnp.sum((winner == yw.reshape(B * S))
-                            .astype(jnp.float32)),
+            correct=jnp.sum((winners == yw).astype(jnp.float32)),
             depth=jnp.sum(d.stats["depth"]),
             ih_scale=jnp.sum(d.stats["ih_scale_sum"]),
             top_error=jnp.sum(d.stats["top_error_scaled"]),

@@ -152,51 +152,59 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
         xw, yw, k = inp                                     # [S, B]
         nk, lk = jax.random.split(k)
         nkeys = jax.random.split(nk, B)
+        leaks = jax.random.split(lk, B)
         momentum = momentum_soft_start(bptt.generation, momentum_target,
                                        hyper.momentum_soft_start)
+        mef = bptt.min_error_factor
 
-        def fstep(h, inp_t):
-            x_tok, nk_t = inp_t
+        # forward + top-layer backprop per char: the [S, o_size] top error
+        # is consumed here, inside the scan (window_bptt_setup) — only the
+        # small [S, h] errors and [S] thresholds buffer across the window
+        def fstep(carry_t, inp_t):
+            h, ho_acc = carry_t
+            x_tok, y_tok, nk_t, lk_t = inp_t
             x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
             fwd = forward_step(cfg, params, h, x,
                                noise_key=nk_t if hyper.use_noise else None,
                                presynaptic_noise=presynaptic_noise)
-            return fwd.hidden, (fwd.input_row, fwd.hidden, fwd.output)
+            logits = fwd.output[:, :n_classes * alphabet_len].reshape(
+                S, n_classes, alphabet_len)
+            p = jax.nn.softmax(logits, axis=-1)
+            onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=jnp.float32)
+            head_err = onehot[:, None, :] - p
+            is_target = (jnp.arange(n_classes)[None, :] ==
+                         target_class[:, None])
+            leak = jax.random.uniform(lk_t, (S, n_classes)) < leakage
+            active = (is_target | leak).astype(jnp.float32)
+            o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
+            o_error = o_error.at[:, :n_classes * alphabet_len].set(
+                (head_err * active[:, :, None]).reshape(S, -1))
+            p_t = jnp.take_along_axis(
+                jnp.take_along_axis(
+                    p, target_class[:, None, None], axis=1)[:, 0, :],
+                y_tok[:, None], axis=1)[:, 0]
+            from recur_tpu.ops.core import window_bptt_setup
+            su, ho_delta = window_bptt_setup(cfg, params, fwd.hidden,
+                                             o_error, mef, bptt.learn_rate)
+            return (fwd.hidden, ho_acc + ho_delta), (fwd.input_row, su, p_t)
 
-        hidden, (rows_w, hiddens_w, outputs_w) = jax.lax.scan(
-            fstep, hidden, (jnp.moveaxis(xw, 1, 0), nkeys),
+        ho0 = jnp.zeros((cfg.h_size, cfg.o_size), jnp.float32)
+        (hidden, ho_delta), (rows_w, su_w, p_t) = jax.lax.scan(
+            fstep, (hidden, ho0),
+            (jnp.moveaxis(xw, 1, 0), jnp.moveaxis(yw, 1, 0), nkeys, leaks),
             unroll=hyper.unroll)
         # [B, S, *] -> [S, B, *]
         rows_w = jnp.moveaxis(rows_w, 0, 1)
-        hiddens_w = jnp.moveaxis(hiddens_w, 0, 1)
-        outputs_w = jnp.moveaxis(outputs_w, 0, 1)
-
-        logits = outputs_w[..., :n_classes * alphabet_len].reshape(
-            S, B, n_classes, alphabet_len)
-        p = jax.nn.softmax(logits, axis=-1)
-        onehot = jax.nn.one_hot(yw, alphabet_len, dtype=jnp.float32)
-        head_err = onehot[:, :, None, :] - p                # [S, B, C, A]
-        is_target = (jnp.arange(n_classes)[None, None, :] ==
-                     target_class[:, None, None])           # [S, 1, C]
-        leak = jax.random.uniform(lk, (S, B, n_classes)) < leakage
-        active = (is_target | leak).astype(jnp.float32)
-        o_err = head_err * active[..., None]
-        o_errors = jnp.zeros((S, B, cfg.o_size), jnp.float32)
-        o_errors = o_errors.at[..., :n_classes * alphabet_len].set(
-            o_err.reshape(S, B, -1))
-        p_t = jnp.take_along_axis(
-            jnp.take_along_axis(
-                p, jnp.broadcast_to(target_class[:, None, None, None],
-                                    (S, B, 1, 1)), axis=2)[:, :, 0, :],
-            yw[:, :, None], axis=2)[:, :, 0]                # [S, B]
+        su_w = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), su_w)
+        p_t = jnp.moveaxis(p_t, 0, 1)                       # [S, B]
 
         rows_full = jnp.concatenate(
             [tail[:, 1:], rows_w.astype(hdtype)], axis=1)   # [S, D-1+B, i]
-        d = calc_deltas_window(cfg, params, rows_full, hiddens_w, o_errors,
-                               bptt.min_error_factor, bptt.learn_rate,
+        d = calc_deltas_window(cfg, params, rows_full, su_w,
+                               mef, bptt.learn_rate,
                                walk_unroll=hyper.walk_unroll)
         params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
-                                      d.ho_delta, None, hyper.learning_style,
+                                      ho_delta, None, hyper.learning_style,
                                       momentum,
                                       hyper.bottom_learn_rate_scale)
         bptt = dataclasses.replace(bptt,

@@ -631,9 +631,22 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
                                       last_err, cum_err))
 
 
+def window_bptt_setup(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
+                      o_error: jax.Array, min_error_factor: jax.Array,
+                      learn_rate: jax.Array):
+    """Per-char top-layer backprop for the windowed batch path: returns
+    (setup-without-ho_delta, ho_delta).  Runs INSIDE the window's forward
+    scan so the [S, o_size] top error is consumed immediately — buffering B
+    chars of o_error (S x B x o_size) would be the dominant HBM traffic of
+    the whole window at multihead output widths."""
+    su = _bptt_setup(cfg, params, hidden, o_error, min_error_factor,
+                     learn_rate)
+    return su._replace(ho_delta=None), su.ho_delta
+
+
 def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
-                       hiddens: jax.Array, o_errors: jax.Array,
-                       min_error_factor: jax.Array, learn_rate: jax.Array,
+                       su_w: _BpttSetup, min_error_factor: jax.Array,
+                       learn_rate: jax.Array,
                        walk_unroll: int = 1) -> DeltaOut:
     """Batched truncated BPTT over a WINDOW of B consecutive chars — the
     diachronic `batch_size` semantics (rnn_bptt_calc_deltas accumulating,
@@ -642,12 +655,15 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
 
     Within an apply window the reference's weights are CONSTANT, so the B
     per-char depth-D backward walks are independent given the forward
-    trajectory.  Instead of B sequential walks of tiny [S, h] matmuls (the
-    per-op-overhead-bound shape that binds the caravel h=100 workload),
-    run ONE walk whose batch is [S*B]: depth step d slices the input rows
-    of chars t-d for every t at once from a [S, D-1+B, i] window buffer.
-    Two passes like calc_deltas_twopass: pass 1 outcomes (early exits,
-    emergency scales), pass 2 replays accumulating the scaled gradient.
+    trajectory.  Instead of B sequential walks of tiny [S, h] matmuls
+    (each ~5µs of kernel latency in a serial dependency chain — what binds
+    the caravel h=100 workload), run ONE walk whose batch is [S*B]: depth
+    step d slices the input rows of chars t-d for every t at once from a
+    [S, D-1+B, i] window buffer.  The applied errors buffer into
+    [D, S, B, h] (same per-char HBM traffic as the sequential buffered
+    form) and the post-walk gradient contracts them against the row slices
+    with the per-(stream,char) emergency scale folded in — D independent
+    matmuls of contraction S*B that pipeline freely.
 
     Semantics vs the sequential batch path: identical math per char except
     the adaptive min_error_factor, which the reference nudges once per char
@@ -656,73 +672,84 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
     end (drift bound: B tiny 1e-3-scale factors).  batch_size=1 callers
     keep the exact per-char path.
 
-    rows:    [S, D-1+B, i_size] input rows, row k = char (k - D + 1)'s
-             input layer (any float dtype; bf16 halves the walk traffic)
-    hiddens: [S, B, h_size] post-activation hidden at each char
-    o_errors:[S, B, o_size] top errors per char
+    rows: [S, D-1+B, i_size] input rows, row k = char (k - D + 1)'s input
+          layer (any float dtype; bf16 halves the walk traffic).
+    su_w: per-char top-layer setups (window_bptt_setup) stacked to
+          h_err0 [S, B, h] and [S, B] thresholds; ho_delta is None (the
+          caller accumulates it inside its forward scan).
     """
     assert not cfg.has_bottom, "windowed BPTT: bottom layer not supported"
-    S, B = o_errors.shape[:2]
+    S, B = su_w.h_err0.shape[:2]
     depth = cfg.depth
     N = S * B
     hmask = _hidden_mask(cfg)
     mef_flat = jnp.broadcast_to(min_error_factor[:, None], (S, B)).reshape(N)
-    su = _bptt_setup(cfg, params, hiddens.reshape(N, cfg.h_size),
-                     o_errors.reshape(N, cfg.o_size), mef_flat, learn_rate)
-    e0 = su.h_err0.reshape(S, B, cfg.h_size)
-    min_es = su.min_error_sum.reshape(S, B)
-    max_es = su.max_error_sum.reshape(S, B)
+    e0 = su_w.h_err0
+    min_es, max_es = su_w.min_error_sum, su_w.max_error_sum      # [S, B]
+    su_flat = su_w._replace(
+        h_err0=None,
+        top_error_sum=su_w.top_error_sum.reshape(N),
+        top_scaled=su_w.top_scaled.reshape(N),
+        max_error_sum=max_es.reshape(N),
+        error_sum_ceiling=su_w.error_sum_ceiling.reshape(N),
+        min_error_gain=su_w.min_error_gain.reshape(N),
+        min_error_sum=min_es.reshape(N))
+    edtype = rows.dtype
 
-    def walk(step_extra, extra0):
-        def step(carry, d):
-            e_h, active, last_err, k_active, cum_err, extra = carry
-            e_h = e_h * hmask
-            inputs_d = jax.lax.dynamic_slice_in_dim(
-                rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
-            m = _row_mask(cfg, inputs_d)
-            e_full = (e_h.reshape(N, cfg.h_size) @ params.ih.T).reshape(
-                S, B, cfg.i_size)
-            if cfg.activation == Activation.RESQRT:
-                e_full = e_full / (2.0 * (inputs_d + 1.0))
-            e_full = jnp.where(m, e_full, 0.0)
-            err_sum = jnp.sum(e_full * e_full, axis=2)        # [S, B]
-            act_f = active.astype(jnp.float32)
-            y_eh = e_h * act_f[..., None]
-            extra = step_extra(extra, inputs_d, y_eh)
-            cum_err = cum_err + jnp.sqrt(err_sum) * act_f
-            last_err = jnp.where(active, err_sum, last_err)
-            k_active = k_active + active.astype(jnp.int32)
-            trip = (err_sum <= min_es) | (err_sum > max_es)
-            active = active & ~trip
-            return (e_full[..., :cfg.h_size], active, last_err, k_active,
-                    cum_err, extra), None
+    def step(carry, d):
+        e_h, active, last_err, k_active, cum_err, eh_buf = carry
+        e_h = e_h * hmask
+        inputs_d = jax.lax.dynamic_slice_in_dim(
+            rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
+        m = _row_mask(cfg, inputs_d)
+        e_full = (e_h.reshape(N, cfg.h_size) @ params.ih.T).reshape(
+            S, B, cfg.i_size)
+        if cfg.activation == Activation.RESQRT:
+            e_full = e_full / (2.0 * (inputs_d + 1.0))
+        e_full = jnp.where(m, e_full, 0.0)
+        err_sum = jnp.sum(e_full * e_full, axis=2)        # [S, B]
+        act_f = active.astype(jnp.float32)
+        y_eh = e_h * act_f[..., None]
+        eh_buf = jax.lax.dynamic_update_slice_in_dim(
+            eh_buf, y_eh[None].astype(edtype), d, axis=0)
+        cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+        last_err = jnp.where(active, err_sum, last_err)
+        k_active = k_active + active.astype(jnp.int32)
+        trip = (err_sum <= min_es) | (err_sum > max_es)
+        active = active & ~trip
+        return (e_full[..., :cfg.h_size], active, last_err, k_active,
+                cum_err, eh_buf), None
 
-        z = jnp.zeros((S, B), jnp.float32)
-        carry0 = (e0, jnp.ones((S, B), bool), z,
-                  jnp.zeros((S, B), jnp.int32), z, extra0)
-        (e_fin, active_fin, last_err, k_active, cum_err, extra), _ = \
-            jax.lax.scan(step, carry0, jnp.arange(depth),
-                         unroll=min(walk_unroll, depth))
-        return active_fin, last_err, k_active, cum_err, extra
+    z = jnp.zeros((S, B), jnp.float32)
+    eh_buf0 = jnp.zeros((depth, S, B, cfg.h_size), edtype)
+    carry0 = (e0, jnp.ones((S, B), bool), z,
+              jnp.zeros((S, B), jnp.int32), z, eh_buf0)
+    (e_fin, active_fin, last_err, k_active, cum_err, eh_buf), _ = \
+        jax.lax.scan(step, carry0, jnp.arange(depth),
+                     unroll=min(walk_unroll, depth))
 
-    # pass 1: outcomes only
-    active_fin, last_err, k_active, cum_err, _ = walk(
-        lambda extra, inputs_d, y_eh: extra, None)
     clipped, ih_scale, t_final, new_mef_flat = _bptt_epilogue(
-        cfg, su, mef_flat, last_err.reshape(N), active_fin.reshape(N),
+        cfg, su_flat, mef_flat, last_err.reshape(N), active_fin.reshape(N),
         k_active.reshape(N), depth)
     scale = ih_scale.reshape(S, B)
 
-    # pass 2: replay, accumulating scale_(s,b) * inputs x y_eh into [i, h]
-    def accumulate(acc, inputs_d, y_eh):
+    # the post-walk gradient: D independent matmuls (no serial dependency
+    # beyond the accumulator), each contracting [S*B] rows
+    def gstep(acc, inp):
+        eh_d, d = inp
+        inputs_d = jax.lax.dynamic_slice_in_dim(
+            rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
         if cfg.activation == Activation.RECLIP20:
             inputs_d = jnp.where(_row_mask(cfg, inputs_d), inputs_d, 0.0)
         return acc + jnp.einsum(
-            "sbi,sbh->ih", inputs_d, y_eh * scale[..., None],
-            preferred_element_type=jnp.float32)
+            "sbi,sbh->ih", inputs_d,
+            eh_d.astype(jnp.float32) * scale[..., None],
+            preferred_element_type=jnp.float32), None
 
-    acc0 = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
-    *_, ih_delta = walk(accumulate, acc0)
+    ih_delta, _ = jax.lax.scan(
+        lambda acc, inp: gstep(acc, inp),
+        jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32),
+        (eh_buf, jnp.arange(depth)), unroll=min(walk_unroll, depth))
 
     # compose the B per-char adaptive-floor nudges (each computed from the
     # window-start value) into one update
@@ -736,13 +763,13 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
         "depth": (depth - t_final.reshape(S, B)).astype(jnp.float32).sum(1),
         "ih_scale": scale[:, -1],
         "ih_scale_sum": scale.sum(1),
-        "top_error_raw": su.top_error_sum.reshape(S, B).sum(1),
-        "top_error_scaled": su.top_scaled.reshape(S, B).sum(1),
+        "top_error_raw": su_w.top_error_sum.sum(1),
+        "top_error_scaled": su_w.top_scaled.sum(1),
         "error_sum": last_err.sum(1),
         "cum_error": cum_err.sum(1),
         "min_error_threshold": min_es[:, -1],
     }
-    return DeltaOut(ih_delta=ih_delta, ho_delta=su.ho_delta,
+    return DeltaOut(ih_delta=ih_delta, ho_delta=None,
                     bottom_delta=None, min_error_factor=new_mef,
                     stats=stats)
 
