@@ -177,9 +177,8 @@ def main():
         configs = ((3584, 4096, jnp.bfloat16, "buffered", 1, 1, 1),
                    (3584, 4096, jnp.bfloat16, "buffered", 4, 1, 1),
                    (3584, 4096, jnp.bfloat16, "buffered", 4, 6, 1),
-                   (3584, 4096, jnp.bfloat16, "buffered", 4, 30, 1),
-                   (3584, 4096, jnp.bfloat16, "buffered", 8, 1, 16),
-                   (3584, 4096, jnp.bfloat16, "buffered", 8, 1, 32))
+                   (3584, 4096, jnp.bfloat16, "buffered", 8, 1, 32),
+                   (3584, 4096, jnp.bfloat16, "factored", 1, 1, 1))
     else:
         configs = ((64, 256, jnp.float32, "buffered", 1, 1, 1),)
     def time_chunk(a_net, S, T, hdtype, impl, unroll=1, reps=8,
@@ -248,9 +247,8 @@ def main():
         # (py-recur-text.c batch_size kwarg) run as the windowed batched
         # walk (multihead_train_window_chunk) where the whole window's
         # backward batches [S*B] rows per depth step.
-        for kw in ({"walk_unroll": 50},
-                   {"batch_size": 8, "unroll": 8},
-                   {"batch_size": 32, "unroll": 8},
+        for kw in ({"walk_unroll": 8},
+                   {"unroll": 4},
                    {"batch_size": 32, "unroll": 8,
                     "history_dtype": "bfloat16"}):
             c = caravel_bench(**kw)

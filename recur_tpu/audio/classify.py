@@ -212,7 +212,8 @@ def classify_window_step(cfg, hyper, groups, params, bptt, state,
     o_error = err.sum(axis=1)                          # [C, o_size]
     o_error = o_error * error_weight[None, :]
 
-    p_t = jnp.take_along_axis(p, tgt_abs[:, :, None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis (TPU gathers are slow)
+    p_t = jnp.sum(p * onehot, axis=-1)
     err_sum = jnp.sum((1.0 - p_t) * keep)
     correct = jnp.sum((winner == targets) & keep)
     trained = jnp.sum(keep)

@@ -57,7 +57,8 @@ def tanh_train_step(cfg, hyper, params, bptt, state, x, target, key):
     err = (1.0 - a * a) * (target - a)
     o_error = jnp.zeros((C, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,

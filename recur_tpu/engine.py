@@ -382,7 +382,8 @@ def char_cross_entropy_seq(cfg: RnnConfig, params: RnnParams,
     logits = outs[:, :, :cfg.output_size]
     logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
     tgt = tokens[:, 1:]
-    p2 = jnp.take_along_axis(logp2, tgt[:, :, None], axis=-1)[:, :, 0]
+    oh = jax.nn.one_hot(tgt, cfg.output_size, dtype=logp2.dtype)
+    p2 = jnp.sum(logp2 * oh, axis=-1)
     p2 = jnp.maximum(p2, -100.0)
     mask = (jnp.arange(T - 1) >= skip).astype(jnp.float32)
     ent = -(p2 * mask).sum(axis=1) / mask.sum()

@@ -103,9 +103,11 @@ def classify_train_step(cfg: RnnConfig, hyper: TrainHyper, params, bptt,
     o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
     winner = jnp.argmax(p, axis=1)
-    p_t = jnp.take_along_axis(p, y_safe[:, None], axis=1)[:, 0]
+    # one-hot contraction, not take_along_axis (TPU gathers are slow)
+    p_t = jnp.sum(p * onehot[:, :cfg.output_size], axis=1)
 
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
@@ -169,7 +171,8 @@ def classify_eval_seq(cfg, params, hidden, tokens, classes):
     cs = jnp.moveaxis(classes, 1, 0)
     live = (cs != NO_CLASS)
     y_safe = jnp.where(live, cs, 0).astype(jnp.int32)
-    p_t = jnp.take_along_axis(p, y_safe[:, :, None], axis=2)[:, :, 0]
+    oh = jax.nn.one_hot(y_safe, cfg.output_size, dtype=p.dtype)
+    p_t = jnp.sum(p * oh, axis=2)
     livef = live.astype(jnp.float32)
     div = jnp.maximum(livef.sum(), 1.0)
     v_entropy = (-capped_log2(jnp.maximum(p_t, 1e-38)) * livef).sum() / div

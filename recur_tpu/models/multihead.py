@@ -70,10 +70,12 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     o_error = o_error.at[:, :n_classes * alphabet_len].set(
         o_err.reshape(S, -1))
 
-    # err on the target head at the target char = 1 - p_target
-    p_t = jnp.take_along_axis(
-        jnp.take_along_axis(p, target_class[:, None, None], axis=1)[:, 0, :],
-        y_tok[:, None], axis=1)[:, 0]
+    # err on the target head at the target char = 1 - p_target.
+    # One-hot contraction, not take_along_axis: the TPU lowering of the
+    # per-row double gather cost ~230us/char at caravel shapes (measured);
+    # the einsum against masks already in hand is ~free.
+    p_t = jnp.einsum("sca,sc,sa->s", p, is_target.astype(jnp.float32),
+                     onehot)
 
     deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
                                  walk_unroll=hyper.walk_unroll)
@@ -179,10 +181,8 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
             o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
             o_error = o_error.at[:, :n_classes * alphabet_len].set(
                 (head_err * active[:, :, None]).reshape(S, -1))
-            p_t = jnp.take_along_axis(
-                jnp.take_along_axis(
-                    p, target_class[:, None, None], axis=1)[:, 0, :],
-                y_tok[:, None], axis=1)[:, 0]
+            p_t = jnp.einsum("sca,sc,sa->s", p,
+                             is_target.astype(jnp.float32), onehot)
             from recur_tpu.ops.core import window_bptt_setup
             su, ho_delta = window_bptt_setup(cfg, params, fwd.hidden,
                                              o_error, mef, bptt.learn_rate)
@@ -300,9 +300,8 @@ def multihead_cross_entropy(cfg: RnnConfig, params: RnnParams,
         T - 1, S, n_classes, alphabet_len)
     logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
     tgt = jnp.moveaxis(tokens[:, 1:], 1, 0)           # [T-1, S]
-    p2 = jnp.take_along_axis(
-        logp2, tgt[:, :, None, None].repeat(n_classes, axis=2),
-        axis=-1)[..., 0]                              # [T-1, S, C]
+    oh = jax.nn.one_hot(tgt, alphabet_len, dtype=logp2.dtype)
+    p2 = jnp.einsum("tsca,tsa->tsc", logp2, oh)       # [T-1, S, C]
     p2 = jnp.maximum(p2, -100.0)
     mask = (jnp.arange(T - 1) >= ignore_start).astype(jnp.float32)
     ent = -(p2 * mask[:, None, None]).sum(axis=0) / mask.sum()
@@ -332,9 +331,8 @@ def multihead_xe_accumulate(cfg: RnnConfig, params: RnnParams,
         T - 1, S, n_classes, alphabet_len)
     logp2 = jax.nn.log_softmax(logits, axis=-1) / jnp.log(2.0)
     tgt = jnp.moveaxis(tokens[:, 1:], 1, 0)
-    p2 = jnp.take_along_axis(
-        logp2, tgt[:, :, None, None].repeat(n_classes, axis=2),
-        axis=-1)[..., 0]
+    oh = jax.nn.one_hot(tgt, alphabet_len, dtype=logp2.dtype)
+    p2 = jnp.einsum("tsca,tsa->tsc", logp2, oh)
     p2 = jnp.maximum(p2, -100.0)
     mask = (jnp.arange(T - 1) >= skip).astype(jnp.float32)
     sums = -(p2 * mask[:, None, None]).sum(axis=0)    # [S, C]
@@ -359,8 +357,8 @@ def multihead_confab_chunk(cfg: RnnConfig, params: RnnParams,
         fwd = forward_step(cfg, params, hidden, x)
         logits = fwd.output[:, :n_classes * alphabet_len].reshape(
             n_classes, n_classes, alphabet_len)
-        mine = jnp.take_along_axis(
-            logits, own_head[:, None, None], axis=1)[:, 0, :]  # [C, A]
+        eye = jax.nn.one_hot(own_head, n_classes, dtype=logits.dtype)
+        mine = jnp.einsum("cka,ck->ca", logits, eye)   # head m of stream m
         probs = biased_softmax(mine, bias)
         nxt = jnp.where(
             bias >= 100.0, jnp.argmax(mine, axis=-1),

@@ -258,7 +258,8 @@ def _recur_train_step(cfg, hyper, params, bptt, state, feats, targets, key):
     err = a * (1.0 - a) * (targets - a)
     o_error = jnp.zeros((feats.shape[0], cfg.o_size), jnp.float32)
     o_error = o_error.at[:, :cfg.output_size].set(err)
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl)
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                 walk_unroll=hyper.walk_unroll)
     d = deltas_fn(cfg, params, state, None, o_error,
                     bptt.min_error_factor, bptt.learn_rate)
     params, bptt = apply_learning(cfg, params, bptt, d.ih_delta, d.ho_delta,
