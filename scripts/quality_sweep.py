@@ -34,6 +34,12 @@ PROBES = [
     ("h399-n20-w", ["--hidden-size", "399", "--presynaptic-noise", "0.2",
                     "--periodic-weight-noise", "0.002"]),
     ("h799-n40", ["--hidden-size", "799", "--presynaptic-noise", "0.4"]),
+    # bottom-layer arms (RNN_NET_FLAG_BOTTOM_LAYER, recur-nn.h:211-227):
+    # a 20-wide feed-forward bottleneck below the recurrent layer
+    ("h199-b20-n10", ["--hidden-size", "199", "--bottom-layer", "20",
+                      "--presynaptic-noise", "0.1"]),
+    ("h399-b20-n20", ["--hidden-size", "399", "--bottom-layer", "20",
+                      "--presynaptic-noise", "0.2"]),
 ]
 
 
