@@ -40,6 +40,9 @@ PROBES = [
                       "--presynaptic-noise", "0.1"]),
     ("h399-b20-n20", ["--hidden-size", "399", "--bottom-layer", "20",
                       "--presynaptic-noise", "0.2"]),
+    # the best operating point with Polyak averaging from scratch
+    ("h199-n10-ema", ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+                      "--ema-weight", "0.99995"]),
 ]
 
 
