@@ -230,6 +230,7 @@ class CharModel:
         self.ema_weight = float(ema_weight)
         self.ema_params = (jax.tree.map(jnp.copy, self.params)
                            if self.ema_weight > 0.0 else None)
+        self._raw_ventropy = None
         # confab state
         self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
         self._confab_char = 0
@@ -411,7 +412,15 @@ class CharModel:
         t_error = acc["error"] / n
         accuracy = acc["correct"] / n
         # with EMA averaging on, validation (and hence the adaptive
-        # schedule) scores the averaged weights
+        # schedule) scores the averaged weights; the raw net's score is
+        # still measured and logged (v_entropy_raw) on an independent
+        # carried validation state, so both trajectories stay comparable
+        vent_raw = None
+        if ventropy and self.ema_params is not None:
+            if self._raw_ventropy is None:
+                import copy
+                self._raw_ventropy = copy.deepcopy(ventropy)
+            vent_raw = self._raw_ventropy.calc(self.params)
         v_params = self.ema_params if self.ema_params is not None \
             else self.params
         vent = ventropy.calc(v_params) if ventropy else 0.0
@@ -425,6 +434,8 @@ class CharModel:
         self.log.log_float("t_error", t_error)
         self.log.log_float("t_entropy", t_entropy)
         self.log.log_float("v_entropy", vent)
+        if vent_raw is not None:
+            self.log.log_float("v_entropy_raw", vent_raw)
         self.log.log_float("momentum", self.momentum)
         self.log.log_float("accuracy", accuracy)
         self.log.log_float("learn-rate", self.learn_rate)
