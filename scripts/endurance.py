@@ -24,6 +24,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from watchdog import STALLED, run_watched
 
 
 def last_generation(net_path: str) -> int:
@@ -96,10 +98,11 @@ def main(argv=None) -> int:
         if opt.compile_cache:
             env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(opt.workdir,
                                                             ".jax_cache")
-        r = subprocess.run(cmd, cwd=REPO, env=env)
+        rc = run_watched(cmd, os.path.join(
+            opt.workdir, f"endurance-leg{len(legs)}.log"), cwd=REPO, env=env)
         dt = time.time() - t0
         new_gen = last_generation(net_path)
-        legs.append({"leg": len(legs), "rc": r.returncode,
+        legs.append({"leg": len(legs), "rc": rc,
                      "start_gen": gen, "end_gen": new_gen,
                      "seconds": round(dt, 1)})
         with open(record_path, "w") as f:
@@ -111,9 +114,9 @@ def main(argv=None) -> int:
             # crashed — a run whose legs routinely die to tunnel drops but
             # keep advancing must never abort (that is the whole point)
             retries = 0
-        if r.returncode != 0:
+        if rc != 0:
             retries += 1
-            print(f"endurance: leg died rc={r.returncode} at gen {new_gen}; "
+            print(f"endurance: leg died rc={rc} at gen {new_gen}; "
                   f"resuming (retry {retries})", flush=True)
             time.sleep(5)       # give the tunnel a moment
         elif new_gen <= gen:

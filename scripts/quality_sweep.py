@@ -26,6 +26,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from watchdog import STALLED, run_watched
 
 # (tag, extra text-predict args)
 PROBES = [
@@ -98,9 +100,16 @@ def main(argv=None) -> int:
                "--log-file", log, "--quiet"] + extra + opt.extra
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
-        r = subprocess.run(cmd, cwd=REPO)
+        # stall watchdog: a wedged tunnel hangs a fresh process forever
+        # (no log output, no CPU); kill + retry up to 3 times
+        for attempt in range(3):
+            rc = run_watched(cmd, log, cwd=REPO)
+            if rc != STALLED:
+                break
+            print(f"sweep probe {tag}: stalled (attempt {attempt + 1}); "
+                  "retrying", flush=True)
         best, best_gen = best_v_entropy(log)
-        results.append({"tag": tag, "rc": r.returncode,
+        results.append({"tag": tag, "rc": rc,
                         "best_v_entropy": best, "best_at_gen": best_gen,
                         "seconds": round(time.time() - t0, 1)})
         print(f"sweep probe {tag}: best v_entropy {best} "
