@@ -45,6 +45,13 @@ PROBES = [
     # the best operating point with Polyak averaging from scratch
     ("h199-n10-ema", ["--hidden-size", "199", "--presynaptic-noise", "0.1",
                       "--ema-weight", "0.99995"]),
+    # seed spread of the headline configuration
+    ("h199-n10-ema-s2", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--rng-seed", "2"]),
+    ("h199-n10-ema-s3", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--rng-seed", "3"]),
 ]
 
 
