@@ -635,6 +635,13 @@ class AudioClassifier:
                 multi_pgm_dump(self.net, value, self.basename)
         elif key == "windows_per_second":
             raise KeyError("windows-per-second is read-only")
+        elif key in ("features_offset", "features_scale"):
+            # the every-setup normalisation strings (gstclassify.c:1802)
+            vals = properties.parse_colon_floats(value, self.n_features)
+            if key == "features_offset":
+                self.set_feature_normalisation(offsets=vals)
+            else:
+                self.set_feature_normalisation(scales=vals)
         elif key == "features_file":
             if self._features_file:
                 self._features_file.close()
@@ -652,6 +659,10 @@ class AudioClassifier:
         key = self.PROPERTY_ALIASES.get(name, name.replace("-", "_"))
         if key == "_target_string":
             return getattr(self, "_target_string", "")
+        if key == "_forget":
+            return False          # action property; nothing to read
+        if key == "_pgm_dump":
+            return ""
         return getattr(self, key)
 
     def forget(self):
@@ -662,6 +673,7 @@ class AudioClassifier:
 
     # -- property-style setters --
     def set_target_string(self, s: str):
+        self._target_string = s
         self.events = parse_target_string(s, self.groups, self.n_channels,
                                           self.window_size, self.lag,
                                           self.rate)

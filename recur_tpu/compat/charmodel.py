@@ -340,6 +340,8 @@ class Net:
             # the small tail buckets (and batch_size == 1 exactly)
             chunk_fn = (multihead_train_window_chunk
                         if self._hyper.batch_size > 1
+                        and not self.net.cfg.has_bottom
+                        and self._hyper.bptt_impl == "buffered"
                         and n % self._hyper.batch_size == 0
                         else multihead_train_chunk)
             (self._params, self._bptt, self._state,

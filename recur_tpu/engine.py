@@ -298,11 +298,16 @@ def _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
         d = calc_deltas_window(
             cfg, params, rows_full, su_w, mef,
             bptt.learn_rate, walk_unroll=hyper.walk_unroll)
-        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
-                                      ho_delta, None,
-                                      hyper.learning_style, momentum,
-                                      hyper.bottom_learn_rate_scale)
+        # fold in deltas a preceding ragged per-char piece accumulated
+        # (zeroed after: no-op from the second window on)
+        params, bptt = apply_learning(
+            cfg, params, bptt, d.ih_delta + bptt.ih_delta,
+            ho_delta + bptt.ho_delta, None,
+            hyper.learning_style, momentum,
+            hyper.bottom_learn_rate_scale)
         bptt = dataclasses.replace(bptt,
+                                   ih_delta=jnp.zeros_like(bptt.ih_delta),
+                                   ho_delta=jnp.zeros_like(bptt.ho_delta),
                                    min_error_factor=d.min_error_factor,
                                    ih_scale=d.stats["ih_scale"],
                                    generation=bptt.generation + B)

@@ -92,12 +92,15 @@ class Schedule:
                 self.check_countdown -= 1
                 return
             half = self.recent_len // 2
-            self.check_countdown = half - 1   # fresh newer-half each test
+            self.check_countdown = max(half - 1, 0)  # fresh half each test
             o, n = np.asarray(self.ordered[:half]), \
                 np.asarray(self.ordered[half:])
             improvement = float(o.mean() - n.mean())
-            se = float(np.sqrt(o.var(ddof=1) / len(o) +
-                               n.var(ddof=1) / len(n)))
+            # 1-element halves have no sample variance: degrade to a plain
+            # mean comparison instead of a NaN standard error
+            se = (float(np.sqrt(o.var(ddof=1) / len(o) +
+                                n.var(ddof=1) / len(n)))
+                  if min(len(o), len(n)) > 1 else 0.0)
             if improvement >= se:
                 return      # improvement is statistically positive
             self._drop(model, score,

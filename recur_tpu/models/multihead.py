@@ -203,11 +203,17 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
         d = calc_deltas_window(cfg, params, rows_full, su_w,
                                mef, bptt.learn_rate,
                                walk_unroll=hyper.walk_unroll)
-        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
-                                      ho_delta, None, hyper.learning_style,
-                                      momentum,
-                                      hyper.bottom_learn_rate_scale)
+        # fold in any deltas a preceding per-char piece accumulated toward
+        # its next apply (mixing ragged sequential pieces with windowed
+        # ones must not strand gradients in the accumulators); zeroed
+        # after, so this is a no-op from the second window on
+        params, bptt = apply_learning(
+            cfg, params, bptt, d.ih_delta + bptt.ih_delta,
+            ho_delta + bptt.ho_delta, None, hyper.learning_style,
+            momentum, hyper.bottom_learn_rate_scale)
         bptt = dataclasses.replace(bptt,
+                                   ih_delta=jnp.zeros_like(bptt.ih_delta),
+                                   ho_delta=jnp.zeros_like(bptt.ho_delta),
                                    min_error_factor=d.min_error_factor,
                                    ih_scale=d.stats["ih_scale"],
                                    generation=bptt.generation + B)

@@ -55,6 +55,24 @@ def _open_stream(path: str):
     return open(path, "rb")
 
 
+def _finish_ffmpeg(proc, spec: str):
+    """The decode stream ended: a nonzero ffmpeg exit must raise, not
+    silently yield an empty/truncated stream."""
+    rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"ffmpeg failed (exit {rc}) decoding {spec!r}")
+
+
+def _reap(proc):
+    if proc.poll() is None:
+        proc.terminate()
+    try:
+        proc.wait(timeout=5)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+
+
 def _s16_blocks(f, channels: int, block_samples: int) -> Iterator[np.ndarray]:
     frame = 2 * channels
     while True:
@@ -88,8 +106,9 @@ def audio_blocks(spec: str, rate: int, channels: int = 1,
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         try:
             yield from _s16_blocks(proc.stdout, channels, block_samples)
+            _finish_ffmpeg(proc, spec)
         finally:
-            proc.terminate()
+            _reap(proc)
     else:
         data, _ = read_wav(spec, target_rate=rate, mono=channels == 1)
         if data.ndim == 1:
@@ -121,7 +140,8 @@ def video_frames(spec: str) -> Iterator[np.ndarray]:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         try:
             yield from read_y4m(proc.stdout)
+            _finish_ffmpeg(proc, spec)
         finally:
-            proc.terminate()
+            _reap(proc)
     else:
         yield from read_y4m(spec)

@@ -29,7 +29,7 @@ static uint32_t get32(const unsigned char *p) {
 
 int cdb_make_start(struct cdb_make *m, int fd) {
   m->fd = fd; m->recs = NULL; m->n = 0; m->cap = 0; m->pos = 2048;
-  return (int)lseek(fd, 2048, SEEK_SET) == 2048 ? 0 : 0;
+  return (int)lseek(fd, 2048, SEEK_SET) == 2048 ? 0 : -1;
 }
 
 int cdb_make_add(struct cdb_make *m, const void *key, unsigned klen,
