@@ -52,6 +52,12 @@ PROBES = [
     ("h199-n10-ema-s3", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--rng-seed", "3"]),
+    ("h199-n10-ema-s4", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--rng-seed", "4"]),
+    ("h199-n10-ema-s5", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--rng-seed", "5"]),
 ]
 
 
