@@ -58,6 +58,25 @@ PROBES = [
     ("h199-n10-ema-s5", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--rng-seed", "5"]),
+    # untried levers around the h=199 operating point (round-3 continuation):
+    # deeper temporal credit assignment
+    ("h199-n10-ema-d60", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.1", "--ema-weight", "0.99995",
+                          "--depth", "60"]),
+    # slower Polyak horizon (timescale 100k gens) over a longer run
+    ("h199-n10-ema-slow", ["--hidden-size", "199", "--presynaptic-noise",
+                           "0.1", "--ema-weight", "0.99999",
+                           "--stop-after", "3000000"]),
+    # noise between the 0.1 and 0.2 arms
+    ("h199-n15-ema", ["--hidden-size", "199", "--presynaptic-noise",
+                      "0.15", "--ema-weight", "0.99995"]),
+    # intermediate capacity between the h=199 floor and the h=399 overfit
+    ("h299-n15-ema", ["--hidden-size", "299", "--presynaptic-noise",
+                      "0.15", "--ema-weight", "0.99995"]),
+    # fewer taps = noisier gradient (learn rate rescaled ~1/S)
+    ("h199-n10-ema-t128", ["--hidden-size", "199", "--presynaptic-noise",
+                           "0.1", "--ema-weight", "0.99995",
+                           "--multi-tap", "128", "--learn-rate", "1e-5"]),
 ]
 
 
