@@ -250,6 +250,12 @@ def main():
         for kw in ({"walk_unroll": 8},
                    {"unroll": 4},
                    {"batch_size": 32, "unroll": 8,
+                    "history_dtype": "bfloat16"},
+                   # bf16 top-layer error tensors: the [S, o=3652]
+                   # elementwise chain is the caravel step's dominant HBM
+                   # traffic (PERF.md round-3 investigation)
+                   {"walk_unroll": 8, "top_dtype": "bfloat16"},
+                   {"walk_unroll": 8, "top_dtype": "bfloat16",
                     "history_dtype": "bfloat16"}):
             c = caravel_bench(**kw)
             tag = ",".join(f"{k}={v}" for k, v in kw.items())

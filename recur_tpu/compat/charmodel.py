@@ -110,9 +110,12 @@ class Net:
                  init_method: int = int(InitMethod.FLAT),
                  pipeline_depth: int = 1, unroll: int = 1,
                  walk_unroll: int = 1, history_dtype: str = "float32",
+                 top_dtype: str = "float32",
                  _net: Optional[_nn.Net] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size {batch_size} won't work")
+        if top_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"top_dtype {top_dtype!r} not supported")
         if not (1 <= activation <= 5):
             raise ValueError(f"{activation} is not a valid activation")
         if not (0 <= learning_method <= 6):
@@ -169,7 +172,8 @@ class Net:
             use_noise=cfg.presynaptic_noise > 0.0,
             condition=False, unroll=max(1, int(unroll)),
             walk_unroll=max(1, int(walk_unroll)),
-            history_dtype=str(history_dtype))
+            history_dtype=str(history_dtype),
+            top_dtype=str(top_dtype))
         self._hdtype = jnp.dtype(history_dtype)
         self._params = self.net.params
         self._bptt = _nn.new_bptt_state(cfg, 1, learn_rate=self.net.learn_rate,

@@ -87,6 +87,12 @@ class TrainHyper:
     # of the tunneled chip (CLAUDE.md) at the cost of compile time.  The
     # math is identical (unrolling is pure inlining).
     unroll: int = 1
+    # dtype for the top-layer error tensors (softmax probabilities and
+    # o_error).  At multihead widths (caravel o=3652) the per-char
+    # elementwise chain over [S, o_size] tensors is the dominant HBM
+    # traffic; bf16 halves it (the backward matmuls still accumulate f32).
+    # f32 is exact reference parity.  Only the multihead path honours this.
+    top_dtype: str = "float32"
 
 
 def char_train_step(cfg: RnnConfig, hyper: TrainHyper,

@@ -56,17 +56,22 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     state = advance_history(state, fwd.input_row)
     state = RnnState(hidden=fwd.hidden, history=state.history, head=state.head)
 
+    # top_dtype=bfloat16 keeps every [S, o_size]-wide tensor (p, o_error)
+    # in bf16: at caravel widths the elementwise chain over these tensors
+    # is the step's dominant HBM traffic (PERF.md); the backward matmuls
+    # still accumulate f32 (_bptt_setup)
+    td = jnp.bfloat16 if hyper.top_dtype == "bfloat16" else jnp.float32
     logits = fwd.output[:, :n_classes * alphabet_len].reshape(
         S, n_classes, alphabet_len)
-    p = jax.nn.softmax(logits, axis=-1)
-    onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(td)
+    onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=td)
     head_err = onehot[:, None, :] - p                     # [S, C, A]
     is_target = (jnp.arange(n_classes)[None, :] ==
                  target_class[:, None])                   # [S, C]
     leak = jax.random.uniform(lk, (S, n_classes)) < leakage
-    active = (is_target | leak).astype(jnp.float32)
+    active = (is_target | leak).astype(td)
     o_err = head_err * active[:, :, None]
-    o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
+    o_error = jnp.zeros((S, cfg.o_size), td)
     o_error = o_error.at[:, :n_classes * alphabet_len].set(
         o_err.reshape(S, -1))
 
@@ -74,8 +79,8 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     # One-hot contraction, not take_along_axis: the TPU lowering of the
     # per-row double gather cost ~230us/char at caravel shapes (measured);
     # the einsum against masks already in hand is ~free.
-    p_t = jnp.einsum("sca,sc,sa->s", p, is_target.astype(jnp.float32),
-                     onehot)
+    p_t = jnp.einsum("sca,sc,sa->s", p, is_target.astype(td), onehot,
+                     preferred_element_type=jnp.float32)
 
     deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
                                  walk_unroll=hyper.walk_unroll)
@@ -169,20 +174,22 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
             fwd = forward_step(cfg, params, h, x,
                                noise_key=nk_t if hyper.use_noise else None,
                                presynaptic_noise=presynaptic_noise)
+            td = (jnp.bfloat16 if hyper.top_dtype == "bfloat16"
+                  else jnp.float32)
             logits = fwd.output[:, :n_classes * alphabet_len].reshape(
                 S, n_classes, alphabet_len)
-            p = jax.nn.softmax(logits, axis=-1)
-            onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=jnp.float32)
+            p = jax.nn.softmax(logits, axis=-1).astype(td)
+            onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=td)
             head_err = onehot[:, None, :] - p
             is_target = (jnp.arange(n_classes)[None, :] ==
                          target_class[:, None])
             leak = jax.random.uniform(lk_t, (S, n_classes)) < leakage
-            active = (is_target | leak).astype(jnp.float32)
-            o_error = jnp.zeros((S, cfg.o_size), jnp.float32)
+            active = (is_target | leak).astype(td)
+            o_error = jnp.zeros((S, cfg.o_size), td)
             o_error = o_error.at[:, :n_classes * alphabet_len].set(
                 (head_err * active[:, :, None]).reshape(S, -1))
-            p_t = jnp.einsum("sca,sc,sa->s", p,
-                             is_target.astype(jnp.float32), onehot)
+            p_t = jnp.einsum("sca,sc,sa->s", p, is_target.astype(td),
+                             onehot, preferred_element_type=jnp.float32)
             from recur_tpu.ops.core import window_bptt_setup
             su, ho_delta = window_bptt_setup(cfg, params, fwd.hidden,
                                              o_error, mef, bptt.learn_rate)

@@ -251,14 +251,23 @@ def _bptt_setup(cfg: RnnConfig, params: RnnParams, hidden: jax.Array,
                 learn_rate: jax.Array) -> _BpttSetup:
     """Top layer (backprop_top_layer + softclip, recur-nn.c:713-729) and the
     per-stream BPTT thresholds (recur-nn.c:317-323)."""
-    h_err0 = (o_error @ params.ho.T)           # [S, h_size]
+    if o_error.dtype == jnp.float32:
+        h_err0 = (o_error @ params.ho.T)       # [S, h_size]
+        ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
+                              preferred_element_type=jnp.float32)
+    else:
+        # reduced-precision top error (TrainHyper.top_dtype): both MXU
+        # operands in the narrow dtype, f32 accumulation — halves the two
+        # [S, o_size] reads that dominate at multihead output widths
+        h_err0 = jnp.matmul(o_error, params.ho.T.astype(o_error.dtype),
+                            preferred_element_type=jnp.float32)
+        ho_delta = jnp.einsum("sh,so->ho", hidden.astype(o_error.dtype),
+                              o_error, preferred_element_type=jnp.float32)
     live = (hidden != 0.0) & (jnp.arange(cfg.h_size) >= 1)
     h_err0 = jnp.where(live, h_err0, 0.0)
     top_error_sum = jnp.sum(jnp.abs(h_err0), axis=1)          # [S]
     top_scaled, h_err0 = softclip_scale(
         top_error_sum, cfg.h_size * MAX_TOP_ERROR_FACTOR, h_err0)
-    ho_delta = jnp.einsum("sh,so->ho", hidden, o_error,
-                          preferred_element_type=jnp.float32)
     min_error_gain = MIN_ERROR_GAIN * top_scaled
     return _BpttSetup(
         h_err0=h_err0, top_error_sum=top_error_sum, top_scaled=top_scaled,

@@ -407,3 +407,60 @@ def test_windowed_after_ragged_piece_carries_deltas():
     # gradients were applied, grouped slightly differently
     np.testing.assert_allclose(np.asarray(p2.ih), np.asarray(p1.ih),
                                rtol=0.3, atol=2e-3)
+
+
+def test_multihead_top_dtype_bf16_close():
+    """TrainHyper.top_dtype='bfloat16' keeps the [S, o_size] top-error
+    tensors in bf16 (an opt-in HBM-bandwidth lever at multihead widths,
+    PERF.md).  The math must track the f32 path within bf16 resolution on
+    both the per-char and the windowed paths, and the default must remain
+    the untouched f32 path."""
+    from recur_tpu.models.multihead import (multihead_train_chunk,
+                                            multihead_train_window_chunk)
+
+    alphabet_len, n_classes = 8, 4
+    S, T = 4, 16
+    net = nn.new_net(alphabet_len, 15, alphabet_len * n_classes, rng_seed=8,
+                     depth=5, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, alphabet_len, (S, T + 1)))
+    target_class = jnp.asarray(rng.integers(0, n_classes, S))
+    args = (jnp.float32(0.0), jax.random.PRNGKey(1), jnp.float32(0.9),
+            jnp.float32(0.0))
+
+    def fresh():
+        return (jax.tree.map(jnp.copy, net.params),
+                nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+
+    def run(**hkw):
+        hyper = TrainHyper(condition=False,
+                           learning_style=nn.LearningMethod.ADAGRAD, **hkw)
+        if hkw.get("batch_size", 1) > 1:
+            return multihead_train_window_chunk(
+                cfg, hyper, alphabet_len, *fresh(), tokens, target_class,
+                *args)
+        return multihead_train_chunk(
+            cfg, hyper, alphabet_len, *fresh(), tokens, target_class, *args)
+
+    p32, _, _, st32 = run()
+    pbf, _, _, stbf = run(top_dtype="bfloat16")
+    # params move by ~learn_rate-scale updates; bf16 top error has ~3
+    # decimal digits, so trained weights agree loosely but meaningfully
+    np.testing.assert_allclose(np.asarray(pbf.ho), np.asarray(p32.ho),
+                               rtol=0.1, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pbf.ih), np.asarray(p32.ih),
+                               rtol=0.1, atol=2e-3)
+    assert abs(float(stbf.entropy) - float(st32.entropy)) < 0.05
+    # the windowed path honours it too (compared against the windowed f32
+    # control: the windowed delta-apply cadence is its own documented
+    # deviation from the sequential path)
+    w32 = run(batch_size=4)
+    wbf = run(top_dtype="bfloat16", batch_size=4)
+    np.testing.assert_allclose(np.asarray(wbf[0].ho), np.asarray(w32[0].ho),
+                               rtol=0.1, atol=2e-3)
+    # and the default f32 path is bit-identical to an explicit f32 request
+    pdef, _, _, _ = run(top_dtype="float32")
+    np.testing.assert_array_equal(np.asarray(pdef.ho), np.asarray(p32.ho))
