@@ -36,6 +36,20 @@ class MultiStats(NamedTuple):
     entropy: jax.Array    # [S] -log2(p_target)
 
 
+def _softmax_td(logits: jax.Array, td) -> jax.Array:
+    """Per-head softmax in the top dtype.  For bf16 the cast happens BEFORE
+    the exp so XLA fuses the f32->bf16 convert into the producing matmul's
+    epilogue and the whole [S, C, A] elementwise chain reads/writes half
+    the bytes; the normalising sum still accumulates f32 (a bf16 sum over
+    an alphabet-wide axis loses ~1% which would bias every head)."""
+    if td == jnp.float32:
+        return jax.nn.softmax(logits, axis=-1)
+    z = logits.astype(td)
+    e = jnp.exp(z - jnp.max(z, axis=-1, keepdims=True))
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    return e / s.astype(td)
+
+
 def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
                          params: RnnParams, bptt: BpttState, state: RnnState,
                          x_tok, y_tok, target_class, leakage, key,
@@ -63,7 +77,7 @@ def multihead_train_step(cfg: RnnConfig, hyper: TrainHyper, alphabet_len: int,
     td = jnp.bfloat16 if hyper.top_dtype == "bfloat16" else jnp.float32
     logits = fwd.output[:, :n_classes * alphabet_len].reshape(
         S, n_classes, alphabet_len)
-    p = jax.nn.softmax(logits, axis=-1).astype(td)
+    p = _softmax_td(logits, td)
     onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=td)
     head_err = onehot[:, None, :] - p                     # [S, C, A]
     is_target = (jnp.arange(n_classes)[None, :] ==
@@ -178,7 +192,7 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
                   else jnp.float32)
             logits = fwd.output[:, :n_classes * alphabet_len].reshape(
                 S, n_classes, alphabet_len)
-            p = jax.nn.softmax(logits, axis=-1).astype(td)
+            p = _softmax_td(logits, td)
             onehot = jax.nn.one_hot(y_tok, alphabet_len, dtype=td)
             head_err = onehot[:, None, :] - p
             is_target = (jnp.arange(n_classes)[None, :] ==
