@@ -133,13 +133,18 @@ def main(argv=None) -> int:
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
         # stall watchdog: a wedged tunnel hangs a fresh process forever
-        # (no log output, no CPU); kill + retry up to 3 times
+        # (no log output, no CPU); kill + retry up to 3 times.  A dropped
+        # tunnel instead crashes the leg fast (FAILED_PRECONDITION on the
+        # first array read, rc!=0) — equally retryable after a heal wait.
         for attempt in range(3):
             rc = run_watched(cmd, log, cwd=REPO)
-            if rc != STALLED:
+            if rc == 0:
                 break
-            print(f"sweep probe {tag}: stalled (attempt {attempt + 1}); "
-                  "retrying", flush=True)
+            kind = "stalled" if rc == STALLED else f"died rc={rc}"
+            print(f"sweep probe {tag}: {kind} (attempt {attempt + 1}); "
+                  "waiting for the tunnel to heal then retrying",
+                  flush=True)
+            time.sleep(180)
         best, best_gen = best_v_entropy(log)
         results.append({"tag": tag, "rc": rc,
                         "best_v_entropy": best, "best_at_gen": best_gen,
