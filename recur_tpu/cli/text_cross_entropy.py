@@ -19,7 +19,15 @@ from recur_tpu.utils.colour import (
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="text-cross-entropy",
                                 description=__doc__)
-    p.add_argument("--filename", "-f", required=True, help="net file")
+    p.add_argument("--filename", "-f", required=True, action="append",
+                   help="net file; repeat to score with an ensemble "
+                        "(per-char mixture of the nets' predictive "
+                        "distributions — all nets must share an alphabet)")
+    p.add_argument("--ensemble-op", choices=("mixture", "geometric"),
+                   default="mixture",
+                   help="how to combine ensemble members: arithmetic mean "
+                        "of probabilities (default) or renormalised "
+                        "geometric mean (product of experts)")
     p.add_argument("files", nargs="+", help="text files to score")
     p.add_argument("--colour-scale", "-s", type=float, default=0.0,
                    help="colourise text showing cross entropy (0 = off); "
@@ -47,8 +55,15 @@ def main(argv=None) -> int:
         opt.colour_scale = 2.0
         opt.colour_24_bit = True
 
-    net = nn.load_net(opt.filename)
+    nets = [nn.load_net(f) for f in opt.filename]
+    net = nets[0]
     alphabet = Metadata.parse(net.metadata).to_alphabet()
+    for f, other in zip(opt.filename[1:], nets[1:]):
+        oa = Metadata.parse(other.metadata).to_alphabet()
+        if (oa.points, oa.collapsed_points, oa.flags) != (
+                alphabet.points, alphabet.collapsed_points, alphabet.flags):
+            p.error(f"{f}: alphabet differs from {opt.filename[0]} — "
+                    "ensemble members must encode text identically")
     prefix = (alphabet.encode(opt.prefix.encode()) if opt.prefix else None)
     for path in opt.files:
         with open(path, "rb") as f:
@@ -61,21 +76,49 @@ def main(argv=None) -> int:
             print(f"{path}: too short")
             continue
         import jax
-        hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
-        if prefix is not None and len(prefix):
-            # rnn_char_prime (text-cross-entropy.c:145-148)
-            hidden, _ = engine.char_forward_seq(
+        targets = np.asarray(text[1:], dtype=np.int64)
+        if len(nets) == 1:
+            hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
+            if prefix is not None and len(prefix):
+                # rnn_char_prime (text-cross-entropy.c:145-148)
+                hidden, _ = engine.char_forward_seq(
+                    net.cfg, net.params, hidden,
+                    jnp.asarray(prefix, jnp.int32)[None])
+            hidden, outs = engine.char_forward_seq(
                 net.cfg, net.params, hidden,
-                jnp.asarray(prefix, jnp.int32)[None])
-        hidden, outs = engine.char_forward_seq(
-            net.cfg, net.params, hidden,
-            jnp.asarray(text[:-1], jnp.int32)[None])
-        logp2 = jax.nn.log_softmax(
-            outs[:, :, :net.cfg.output_size], axis=-1) / jnp.log(2.0)
-        logp2 = np.asarray(jnp.take_along_axis(
-            logp2, jnp.asarray(text[1:], jnp.int32)[None, :, None],
-            axis=2))[0, :, 0]
-        surprise = -logp2
+                jnp.asarray(text[:-1], jnp.int32)[None])
+            logp2 = jax.nn.log_softmax(
+                outs[:, :, :net.cfg.output_size], axis=-1) / jnp.log(2.0)
+            logp2 = np.asarray(jnp.take_along_axis(
+                logp2, jnp.asarray(text[1:], jnp.int32)[None, :, None],
+                axis=2))[0, :, 0]
+            surprise = -logp2
+        else:
+            # ensemble: per-char mixture (or product of experts) of each
+            # member's predictive distribution; each member carries its own
+            # hidden state.  Five ~8-minute seed runs of the headline
+            # config score 1.94-1.95 bits/char on the erewhon validation
+            # tail this way (PERF.md), below any single-net result.
+            all_p = []
+            for member in nets:
+                hidden = jnp.zeros((1, member.cfg.h_size), jnp.float32)
+                if prefix is not None and len(prefix):
+                    hidden, _ = engine.char_forward_seq(
+                        member.cfg, member.params, hidden,
+                        jnp.asarray(prefix, jnp.int32)[None])
+                _, outs = engine.char_forward_seq(
+                    member.cfg, member.params, hidden,
+                    jnp.asarray(text[:-1], jnp.int32)[None])
+                all_p.append(np.asarray(jax.nn.softmax(
+                    outs[0, :, :member.cfg.output_size], axis=-1)))
+            stacked = np.stack(all_p)
+            if opt.ensemble_op == "mixture":
+                q = stacked.mean(axis=0)
+            else:
+                q = np.exp(np.log(stacked + 1e-30).mean(axis=0))
+                q /= q.sum(axis=-1, keepdims=True)
+            surprise = -np.log2(
+                q[np.arange(len(targets)), targets] + 1e-30)
         mean = float(surprise[opt.ignore_first:].mean())
         print(f"{path}: {mean:.4f} bits/char")
         if opt.colour_scale:

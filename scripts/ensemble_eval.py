@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Score a seed ensemble on the char-LM validation protocol.
+
+Replicates text-predict's validation exactly (last --validate-chars encoded
+symbols of the corpus, zero initial hidden, skip 5 — Ventropy,
+charmodel-predict.c:216-257) for each net alone and for the per-char
+mixture of all nets' predictive distributions.  Independent seed runs of
+the same operating point disagree usefully: five ~8-minute h=199 EMA runs
+that each validate at ~2.13-2.16 bits/char score ~1.95 as a mixture —
+below the reference's "≈2" headline, which its own binary never reaches
+(best 2.3185, artifacts/ref_longrun/).
+
+    PYTHONPATH=/root/repo python scripts/ensemble_eval.py \
+        --text /root/reference/test-images/erewhon.txt \
+        --validate-chars 10000 --out artifacts/sweep/ensemble.json \
+        artifacts/sweep/h199-n10-ema*.net.ema
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import nn, engine
+from recur_tpu.models.alphabet import Metadata
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("nets", nargs="+", help="net files (e.g. the .net.ema "
+                   "Polyak-averaged saves of independent seed runs)")
+    p.add_argument("--text", required=True, help="corpus file; the "
+                   "validation tail is taken from it exactly as "
+                   "text-predict --validate-chars does")
+    p.add_argument("--validate-chars", type=int, default=10000)
+    p.add_argument("--skip", type=int, default=5,
+                   help="chars to ignore at segment start (Ventropy)")
+    p.add_argument("--out", default=None, help="write a JSON record here")
+    opt = p.parse_args(argv)
+
+    nets = [nn.load_net(f) for f in opt.nets]
+    alpha = Metadata.parse(nets[0].metadata).to_alphabet()
+    with open(opt.text, "rb") as f:
+        text = alpha.encode(f.read())
+    v = np.asarray(text[-opt.validate_chars:], dtype=np.int32)
+    x, y = jnp.asarray(v[:-1])[None], v[1:]
+
+    def xe(q):
+        picked = q[np.arange(len(y)), y]
+        return float(-np.log2(picked + 1e-30)[opt.skip:].mean())
+
+    per_net, all_p = {}, []
+    for path, net in zip(opt.nets, nets):
+        hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
+        _, outs = engine.char_forward_seq(net.cfg, net.params, hidden, x)
+        prob = np.asarray(jax.nn.softmax(
+            outs[0, :, :net.cfg.output_size], axis=-1))
+        all_p.append(prob)
+        per_net[path] = xe(prob)
+        print(f"{path}: {per_net[path]:.4f} bits/char", flush=True)
+
+    mix = xe(np.stack(all_p).mean(axis=0))
+    print(f"ensemble mixture of {len(nets)}: {mix:.4f} bits/char")
+    record = {"text": opt.text, "validate_chars": opt.validate_chars,
+              "per_net": per_net, "ensemble_mixture": mix}
+    if opt.out:
+        with open(opt.out, "w") as f:
+            json.dump(record, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -240,3 +240,51 @@ def test_text_predict_log_keys(tmp_path):
                     "t_entropy", "v_entropy", "per_second"}
     missing = default_keys - keys
     assert not missing, missing
+
+
+@pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+def test_text_cross_entropy_ensemble(tmp_path):
+    """Repeated -f scores with a mixture ensemble: self-ensemble is
+    identical to the single net; a two-seed ensemble runs end-to-end, as
+    does scripts/ensemble_eval.py on the validation protocol."""
+    nets = []
+    for seed in (1, 2):
+        net = str(tmp_path / f"e{seed}.net")
+        r = run_cli("recur_tpu.cli.text_predict",
+                    ["--stop-after", "600", "--multi-tap", "4",
+                     "--learn-rate", "1e-4", "--rng-seed", str(seed),
+                     "--report-interval", "300", "--filename", net, "-q"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        nets.append(net)
+    sample = str(tmp_path / "s.txt")
+    with open(EREWHON, "rb") as f, open(sample, "wb") as g:
+        g.write(f.read(1500))
+
+    single = run_cli("recur_tpu.cli.text_cross_entropy",
+                     ["-f", nets[0], sample])
+    selfpair = run_cli("recur_tpu.cli.text_cross_entropy",
+                       ["-f", nets[0], "-f", nets[0], sample])
+    assert single.returncode == 0 and selfpair.returncode == 0
+    score = float(single.stdout.split(":")[1].split()[0])
+    self_score = float(selfpair.stdout.split(":")[1].split()[0])
+    assert abs(score - self_score) < 2e-3, (score, self_score)
+
+    pair = run_cli("recur_tpu.cli.text_cross_entropy",
+                   ["-f", nets[0], "-f", nets[1], sample])
+    assert pair.returncode == 0, pair.stderr[-2000:]
+    assert "bits/char" in pair.stdout
+    geo = run_cli("recur_tpu.cli.text_cross_entropy",
+                  ["-f", nets[0], "-f", nets[1],
+                   "--ensemble-op", "geometric", sample])
+    assert geo.returncode == 0, geo.stderr[-2000:]
+
+    out = str(tmp_path / "ens.json")
+    r = subprocess.run(
+        [sys.executable, "scripts/ensemble_eval.py", "--text", sample,
+         "--validate-chars", "400", "--out", out] + nets,
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.load(open(out))
+    assert rec["ensemble_mixture"] > 0
+    assert len(rec["per_net"]) == 2
