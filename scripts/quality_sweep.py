@@ -77,6 +77,14 @@ PROBES = [
     ("h199-n10-ema-t128", ["--hidden-size", "199", "--presynaptic-noise",
                            "0.1", "--ema-weight", "0.99995",
                            "--multi-tap", "128", "--learn-rate", "1e-5"]),
+    # more seeds of the headline config: each ~8-minute run adds an
+    # ensemble member (the seed-ensemble mixture is the record holder,
+    # artifacts/sweep/ensemble.json — 1.94 bits/char with 6 members)
+    *[(f"h199-n10-ema-s{s}", ["--hidden-size", "199",
+                              "--presynaptic-noise", "0.1",
+                              "--ema-weight", "0.99995",
+                              "--rng-seed", str(s)])
+      for s in range(6, 11)],
 ]
 
 
