@@ -109,8 +109,8 @@ def classify_compute_bench(unroll: int = 1) -> float:
 
 
 def caravel_bench(walk_unroll: int = 1, unroll: int = 1,
-                  batch_size: int = 1, history_dtype: str = "float32"
-                  ) -> float:
+                  batch_size: int = 1, history_dtype: str = "float32",
+                  top_dtype: str = "float32") -> float:
     """Author-ID training throughput (chars/s) on the caravel shape the
     reference's charmodel.so was built for (py-recur-text.c:428-591;
     multi-text net i73-h99-o3650 = 50 heads x 73 symbols): train_batch over
@@ -127,7 +127,8 @@ def caravel_bench(walk_unroll: int = 1, unroll: int = 1,
     classes = [f"c{i}" for i in range(50)]
     net = Net(alphabet, classes, 99, log_file=None, pipeline_depth=2,
               presynaptic_noise=0.0, walk_unroll=walk_unroll, unroll=unroll,
-              batch_size=batch_size, history_dtype=history_dtype)
+              batch_size=batch_size, history_dtype=history_dtype,
+              top_dtype=top_dtype)
     rng = np.random.default_rng(0)
     texts = [rng.integers(0, 73, T, dtype=np.int32) for _ in range(S)]
     doc_classes = [classes[i % 50] for i in range(S)]
