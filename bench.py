@@ -249,15 +249,18 @@ def main():
         # walk (multihead_train_window_chunk) where the whole window's
         # backward batches [S*B] rows per depth step.
         for kw in ({"walk_unroll": 8},
-                   {"unroll": 4},
-                   {"batch_size": 32, "unroll": 8,
-                    "history_dtype": "bfloat16"},
-                   # bf16 top-layer error tensors: the [S, o=3652]
-                   # elementwise chain is the caravel step's dominant HBM
-                   # traffic (PERF.md round-3 investigation)
+                   # bf16 top-layer error tensors + bf16 ring: the walk is
+                   # the caravel step's dominant cost (stage ablation,
+                   # PERF.md round-3b) and both its matmuls and its HBM
+                   # traffic halve in bf16
                    {"walk_unroll": 8, "top_dtype": "bfloat16"},
                    {"walk_unroll": 8, "top_dtype": "bfloat16",
-                    "history_dtype": "bfloat16"}):
+                    "history_dtype": "bfloat16"},
+                   # the reference's --batch-size cadence as the windowed
+                   # batched walk, bf16 end-to-end (ties the per-char path
+                   # on this tunnel; wins where per-op latency is lower)
+                   {"batch_size": 16, "unroll": 4, "walk_unroll": 8,
+                    "top_dtype": "bfloat16", "history_dtype": "bfloat16"}):
             c = caravel_bench(**kw)
             tag = ",".join(f"{k}={v}" for k, v in kw.items())
             print(f"# caravel {tag}: {c:,.0f} chars/s "

@@ -707,36 +707,46 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
         min_error_gain=su_w.min_error_gain.reshape(N),
         min_error_sum=min_es.reshape(N))
     edtype = rows.dtype
+    # The whole walk runs in the rows dtype: with a bf16 ring every [S, B, *]
+    # tensor in the depth loop (row slices, e_full, the eh trajectory) stays
+    # bf16 end-to-end — the f32 upcasts this used to do materialised full
+    # [S, B, i] copies per depth step, which made the windowed walk
+    # compute/bandwidth-bound and no faster than the per-char path (measured
+    # round 3).  Scalar bookkeeping (err_sum, thresholds) stays f32.
+    ihT_e = params.ih.T.astype(edtype)
+    hmask_e = hmask.astype(edtype)
 
     def step(carry, d):
-        e_h, active, last_err, k_active, cum_err, eh_buf = carry
-        e_h = e_h * hmask
+        e_h, active, last_err, k_active, cum_err = carry
+        e_h = e_h * hmask_e
         inputs_d = jax.lax.dynamic_slice_in_dim(
-            rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
+            rows, (depth - 1) - d, B, axis=1)            # [S, B, i] edtype
         m = _row_mask(cfg, inputs_d)
-        e_full = (e_h.reshape(N, cfg.h_size) @ params.ih.T).reshape(
+        e_full = jnp.matmul(e_h.reshape(N, cfg.h_size), ihT_e,
+                            preferred_element_type=edtype).reshape(
             S, B, cfg.i_size)
         if cfg.activation == Activation.RESQRT:
-            e_full = e_full / (2.0 * (inputs_d + 1.0))
-        e_full = jnp.where(m, e_full, 0.0)
-        err_sum = jnp.sum(e_full * e_full, axis=2)        # [S, B]
+            e_full = e_full / (2.0 * (inputs_d + jnp.asarray(1.0, edtype)))
+        e_full = jnp.where(m, e_full, jnp.asarray(0.0, edtype))
+        ef32 = e_full.astype(jnp.float32)
+        err_sum = jnp.sum(ef32 * ef32, axis=2)            # [S, B] f32
+        y_eh = jnp.where(active[..., None], e_h, jnp.asarray(0.0, edtype))
         act_f = active.astype(jnp.float32)
-        y_eh = e_h * act_f[..., None]
-        eh_buf = jax.lax.dynamic_update_slice_in_dim(
-            eh_buf, y_eh[None].astype(edtype), d, axis=0)
         cum_err = cum_err + jnp.sqrt(err_sum) * act_f
         last_err = jnp.where(active, err_sum, last_err)
         k_active = k_active + active.astype(jnp.int32)
         trip = (err_sum <= min_es) | (err_sum > max_es)
         active = active & ~trip
+        # the applied-error trajectory leaves as a scan OUTPUT (native
+        # stacking) — a carried [D, S, B, h] buffer costs a zeros-init
+        # write plus carry traffic every iteration
         return (e_full[..., :cfg.h_size], active, last_err, k_active,
-                cum_err, eh_buf), None
+                cum_err), y_eh
 
     z = jnp.zeros((S, B), jnp.float32)
-    eh_buf0 = jnp.zeros((depth, S, B, cfg.h_size), edtype)
-    carry0 = (e0, jnp.ones((S, B), bool), z,
-              jnp.zeros((S, B), jnp.int32), z, eh_buf0)
-    (e_fin, active_fin, last_err, k_active, cum_err, eh_buf), _ = \
+    carry0 = (e0.astype(edtype), jnp.ones((S, B), bool), z,
+              jnp.zeros((S, B), jnp.int32), z)
+    (e_fin, active_fin, last_err, k_active, cum_err), eh_buf = \
         jax.lax.scan(step, carry0, jnp.arange(depth),
                      unroll=min(walk_unroll, depth))
 
@@ -747,15 +757,17 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
 
     # the post-walk gradient: D independent matmuls (no serial dependency
     # beyond the accumulator), each contracting [S*B] rows
+    scale_e = scale.astype(edtype)
+
     def gstep(acc, inp):
         eh_d, d = inp
         inputs_d = jax.lax.dynamic_slice_in_dim(
-            rows, (depth - 1) - d, B, axis=1).astype(jnp.float32)
+            rows, (depth - 1) - d, B, axis=1)             # [S, B, i] edtype
         if cfg.activation == Activation.RECLIP20:
-            inputs_d = jnp.where(_row_mask(cfg, inputs_d), inputs_d, 0.0)
+            inputs_d = jnp.where(_row_mask(cfg, inputs_d), inputs_d,
+                                 jnp.asarray(0.0, edtype))
         return acc + jnp.einsum(
-            "sbi,sbh->ih", inputs_d,
-            eh_d.astype(jnp.float32) * scale[..., None],
+            "sbi,sbh->ih", inputs_d, eh_d * scale_e[..., None],
             preferred_element_type=jnp.float32), None
 
     ih_delta, _ = jax.lax.scan(

@@ -464,3 +464,43 @@ def test_multihead_top_dtype_bf16_close():
     # and the default f32 path is bit-identical to an explicit f32 request
     pdef, _, _, _ = run(top_dtype="float32")
     np.testing.assert_array_equal(np.asarray(pdef.ho), np.asarray(p32.ho))
+
+
+def test_windowed_bf16_history_close():
+    """With a bf16 history ring the windowed backward walk runs natively in
+    bf16 end-to-end (row slices, e_full, the error trajectory stay narrow —
+    the f32 upcasts used to materialise full [S, B, i] copies per depth
+    step, ops/core.py calc_deltas_window).  The math must track the f32
+    windowed control within bf16 resolution, and an f32 ring must stay on
+    the exact f32 path."""
+    from recur_tpu.models.multihead import multihead_train_window_chunk
+
+    alphabet_len, n_classes = 8, 4
+    S, T = 4, 16
+    net = nn.new_net(alphabet_len, 15, alphabet_len * n_classes, rng_seed=8,
+                     depth=5, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, alphabet_len, (S, T + 1)))
+    target_class = jnp.asarray(rng.integers(0, n_classes, S))
+    args = (jnp.float32(0.0), jax.random.PRNGKey(1), jnp.float32(0.9),
+            jnp.float32(0.0))
+    hyper = TrainHyper(condition=False, batch_size=4,
+                       learning_style=nn.LearningMethod.ADAGRAD)
+
+    def run(hdtype):
+        return multihead_train_window_chunk(
+            cfg, hyper, alphabet_len, jax.tree.map(jnp.copy, net.params),
+            nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+            nn.new_state(cfg, S, history_dtype=hdtype),
+            tokens, target_class, *args)
+
+    p32, _, _, st32 = run(jnp.float32)
+    pbf, _, _, stbf = run(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(pbf.ih), np.asarray(p32.ih),
+                               rtol=0.1, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pbf.ho), np.asarray(p32.ho),
+                               rtol=0.1, atol=2e-3)
+    assert abs(float(stbf.entropy) - float(st32.entropy)) < 0.05
