@@ -341,28 +341,37 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
     # gradient einsum contracts over all (d,s), so slot order is free.
     hdtype = state.history.dtype
     eh_buf0 = jnp.zeros((S, depth, cfg.h_size), hdtype)
+    # The walk runs in the ring dtype end-to-end (same rationale as the
+    # windowed walk above): with a bf16 ring the per-step row slice, e_full
+    # and the buffered applied error never materialise f32 copies.  Scalar
+    # bookkeeping (err_sum, thresholds, cie) stays f32.  For an f32 ring
+    # every cast below is a no-op and the path is bit-identical.
+    edtype = hdtype
+    ihT_e = params.ih.T.astype(edtype)
+    hmask_e = hmask.astype(edtype)
 
     def step(carry, t):
         e_h, active, last_err, k_active, cum_err, cie, eh_buf = carry
         slot = (state.head - t) % depth
         inputs_t = jax.lax.dynamic_slice_in_dim(
-            state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
+            state.history, slot, 1, axis=1)[:, 0]        # [S, i_size] edtype
         # zero bias slot + pads (recur-nn.c:334-337)
-        e_h = e_h * hmask
+        e_h = e_h * hmask_e
         m = _row_mask(cfg, inputs_t)                     # [S, i_size]
-        e_full = e_h @ params.ih.T                       # [S, i_size]
+        e_full = jnp.matmul(e_h, ihT_e, preferred_element_type=edtype)
         if cfg.activation == Activation.RESQRT:
-            e_full = e_full / (2.0 * (inputs_t + 1.0))
-        e_full = jnp.where(m, e_full, 0.0)
-        err_sum = jnp.sum(e_full * e_full, axis=1)       # [S]
+            e_full = e_full / (2.0 * (inputs_t + jnp.asarray(1.0, edtype)))
+        e_full = jnp.where(m, e_full, jnp.asarray(0.0, edtype))
+        ef32 = e_full.astype(jnp.float32)
+        err_sum = jnp.sum(ef32 * ef32, axis=1)           # [S] f32
         act_f = active.astype(jnp.float32)
         # the error used for this step's delta, masked by active
-        y_eh = e_h * act_f[:, None]
+        y_eh = jnp.where(active[:, None], e_h, jnp.asarray(0.0, edtype))
         eh_buf = jax.lax.dynamic_update_slice_in_dim(
-            eh_buf, y_eh[:, None].astype(hdtype), slot, axis=1)
+            eh_buf, y_eh[:, None], slot, axis=1)
         # bottom-layer cumulative input error (recur-nn.c:377-382)
         if cie is not None:
-            part = e_full[:, cfg.input_offset:cfg.input_offset + cfg.input_size]
+            part = ef32[:, cfg.input_offset:cfg.input_offset + cfg.input_size]
             cie = cie + part * act_f[:, None]
         cum_err = cum_err + jnp.sqrt(err_sum) * act_f
         last_err = jnp.where(active, err_sum, last_err)
@@ -375,7 +384,7 @@ def calc_deltas(cfg: RnnConfig, params: RnnParams, state: RnnState,
 
     cie0 = (jnp.zeros((S, cfg.input_size), jnp.float32)
             if cfg.has_bottom else None)
-    carry0 = (h_err0, jnp.ones((S,), bool),
+    carry0 = (h_err0.astype(edtype), jnp.ones((S,), bool),
               jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
               jnp.zeros((S,), jnp.float32), cie0, eh_buf0)
     (e_h_fin, active_fin, last_err, k_active, cum_err, cie, eh_traj), _ = \
@@ -466,36 +475,48 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
                         cfg.input_offset + cfg.input_size]  # [vocab, h]
     hdtype = state.history.dtype
     eh_buf0 = jnp.zeros((S, depth, cfg.h_size), hdtype)
+    # narrow-native walk (see calc_deltas): with a bf16 ring everything in
+    # the depth loop stays bf16; f32 rings keep the exact path.
+    edtype = hdtype
+    ih_headT_e = ih_head.T.astype(edtype)
+    ih_tail_e = ih_tail.astype(edtype)
+    hmask_e = hmask.astype(edtype)
 
     def step(carry, t):
         e_h, active, last_err, k_active, cum_err, eh_buf = carry
         slot = (state.head - t) % depth
         hid_t = jax.lax.dynamic_slice_in_dim(
-            state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
+            state.history, slot, 1, axis=1)[:, 0]        # [S, W] edtype
         tok_t = jax.lax.dynamic_slice_in_dim(
             state.tokens, slot, 1, axis=1)[:, 0]         # [S]
         scale_t = hid_t[:, 0]            # one-hot value == stored bias
-        e_h = e_h * hmask
+        e_h = e_h * hmask_e
         # error on the [bias, hidden] section
-        e_hid = e_h @ ih_head.T                          # [S, W]
+        e_hid = jnp.matmul(e_h, ih_headT_e,
+                           preferred_element_type=edtype)   # [S, W]
         # error on the single live one-hot column, via one-hot matmul
         # (a [vocab, h] row gather per step measures slower on TPU)
-        t_oh = (tok_t[:, None] == vocab_iota).astype(jnp.float32)
-        e_tok = jnp.einsum("sh,sh->s", e_h, t_oh @ ih_tail)
+        t_oh = (tok_t[:, None] == vocab_iota).astype(edtype)
+        e_tok = jnp.einsum("sh,sh->s", e_h,
+                           jnp.matmul(t_oh, ih_tail_e,
+                                      preferred_element_type=edtype),
+                           preferred_element_type=edtype)
         if cfg.activation == Activation.RESQRT:
-            e_hid = e_hid / (2.0 * (hid_t + 1.0))
-            e_tok = e_tok / (2.0 * (scale_t + 1.0))
+            e_hid = e_hid / (2.0 * (hid_t + jnp.asarray(1.0, edtype)))
+            e_tok = e_tok / (2.0 * (scale_t + jnp.asarray(1.0, edtype)))
         m = _row_mask(cfg, hid_t)
-        e_hid = jnp.where(m, e_hid, 0.0)
+        e_hid = jnp.where(m, e_hid, jnp.asarray(0.0, edtype))
         tok_live = scale_t != 0.0
         if cfg.activation == Activation.RECLIP20:
             tok_live = tok_live & (scale_t < 20.0)
-        e_tok = jnp.where(tok_live, e_tok, 0.0)
-        err_sum = (jnp.sum(e_hid * e_hid, axis=1) + e_tok * e_tok)
+        e_tok = jnp.where(tok_live, e_tok, jnp.asarray(0.0, edtype))
+        ehid32 = e_hid.astype(jnp.float32)
+        etok32 = e_tok.astype(jnp.float32)
+        err_sum = (jnp.sum(ehid32 * ehid32, axis=1) + etok32 * etok32)
         act_f = active.astype(jnp.float32)
-        y_eh = e_h * act_f[:, None]
+        y_eh = jnp.where(active[:, None], e_h, jnp.asarray(0.0, edtype))
         eh_buf = jax.lax.dynamic_update_slice_in_dim(
-            eh_buf, y_eh[:, None].astype(hdtype), slot, axis=1)
+            eh_buf, y_eh[:, None], slot, axis=1)
         cum_err = cum_err + jnp.sqrt(err_sum) * act_f
         last_err = jnp.where(active, err_sum, last_err)
         k_active = k_active + active.astype(jnp.int32)
@@ -505,7 +526,7 @@ def calc_deltas_factored(cfg: RnnConfig, params: RnnParams, state: RnnState,
         e_next = (jnp.pad(e_hid, ((0, 0), (0, pad))) if pad else e_hid)
         return (e_next, active, last_err, k_active, cum_err, eh_buf), None
 
-    carry0 = (h_err0, jnp.ones((S,), bool),
+    carry0 = (h_err0.astype(edtype), jnp.ones((S,), bool),
               jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
               jnp.zeros((S,), jnp.float32), eh_buf0)
     (e_fin, active_fin, last_err, k_active, cum_err, eh_traj), _ = \
@@ -571,6 +592,12 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
     h_err0 = su.h_err0
     min_error_sum, max_error_sum = su.min_error_sum, su.max_error_sum
 
+    # narrow-native walk (see calc_deltas): with a bf16 ring both passes
+    # stay bf16 in the depth loop; f32 rings keep the exact path.
+    edtype = state.history.dtype
+    ihT_e = params.ih.T.astype(edtype)
+    hmask_e = hmask.astype(edtype)
+
     def walk(step_extra, carry_extra0):
         """The backward walk shared by both passes; step_extra(carry_extra,
         inputs_t, y_eh) accumulates whatever the pass needs."""
@@ -578,20 +605,22 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
             e_h, active, last_err, k_active, cum_err, cie, extra = carry
             slot = (state.head - t) % depth
             inputs_t = jax.lax.dynamic_slice_in_dim(
-                state.history, slot, 1, axis=1)[:, 0].astype(jnp.float32)
-            e_h = e_h * hmask
+                state.history, slot, 1, axis=1)[:, 0]    # [S, i] edtype
+            e_h = e_h * hmask_e
             m = _row_mask(cfg, inputs_t)
-            e_full = e_h @ params.ih.T
+            e_full = jnp.matmul(e_h, ihT_e, preferred_element_type=edtype)
             if cfg.activation == Activation.RESQRT:
-                e_full = e_full / (2.0 * (inputs_t + 1.0))
-            e_full = jnp.where(m, e_full, 0.0)
-            err_sum = jnp.sum(e_full * e_full, axis=1)
+                e_full = e_full / (2.0 * (inputs_t
+                                          + jnp.asarray(1.0, edtype)))
+            e_full = jnp.where(m, e_full, jnp.asarray(0.0, edtype))
+            ef32 = e_full.astype(jnp.float32)
+            err_sum = jnp.sum(ef32 * ef32, axis=1)
             act_f = active.astype(jnp.float32)
-            y_eh = e_h * act_f[:, None]
+            y_eh = jnp.where(active[:, None], e_h, jnp.asarray(0.0, edtype))
             extra = step_extra(extra, inputs_t, y_eh)
             if cie is not None:
-                part = e_full[:, cfg.input_offset:
-                              cfg.input_offset + cfg.input_size]
+                part = ef32[:, cfg.input_offset:
+                            cfg.input_offset + cfg.input_size]
                 cie = cie + part * act_f[:, None]
             cum_err = cum_err + jnp.sqrt(err_sum) * act_f
             last_err = jnp.where(active, err_sum, last_err)
@@ -603,7 +632,7 @@ def calc_deltas_twopass(cfg: RnnConfig, params: RnnParams, state: RnnState,
 
         cie0 = (jnp.zeros((S, cfg.input_size), jnp.float32)
                 if cfg.has_bottom else None)
-        carry0 = (h_err0, jnp.ones((S,), bool),
+        carry0 = (h_err0.astype(edtype), jnp.ones((S,), bool),
                   jnp.zeros((S,), jnp.float32), jnp.zeros((S,), jnp.int32),
                   jnp.zeros((S,), jnp.float32), cie0, carry_extra0)
         (e_fin, active_fin, last_err, k_active, cum_err, cie, extra), _ = \

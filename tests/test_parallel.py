@@ -466,6 +466,47 @@ def test_multihead_top_dtype_bf16_close():
     np.testing.assert_array_equal(np.asarray(pdef.ho), np.asarray(p32.ho))
 
 
+def test_perchar_bf16_history_close():
+    """With a bf16 history ring the PER-CHAR backward walk also runs
+    natively in bf16 (ops/core.py calc_deltas): the per-depth-step ring
+    slice, e_full and the buffered applied error stay narrow instead of
+    upcasting to f32 — the same bandwidth lever the windowed walk got,
+    applied to the flagship sequential path.  The math must track the f32
+    per-char control within bf16 resolution; f32 rings keep the exact path
+    (pinned by the oracle tests)."""
+    from recur_tpu.models.multihead import multihead_train_chunk
+
+    alphabet_len, n_classes = 8, 4
+    S, T = 4, 16
+    net = nn.new_net(alphabet_len, 15, alphabet_len * n_classes, rng_seed=8,
+                     depth=5, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    cfg = net.cfg
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, alphabet_len, (S, T + 1)))
+    target_class = jnp.asarray(rng.integers(0, n_classes, S))
+    args = (jnp.float32(0.0), jax.random.PRNGKey(1), jnp.float32(0.9),
+            jnp.float32(0.0))
+    hyper = TrainHyper(condition=False,
+                       learning_style=nn.LearningMethod.ADAGRAD)
+
+    def run(hdtype):
+        return multihead_train_chunk(
+            cfg, hyper, alphabet_len, jax.tree.map(jnp.copy, net.params),
+            nn.new_bptt_state(cfg, S, 1e-3, 0.9),
+            nn.new_state(cfg, S, history_dtype=hdtype),
+            tokens, target_class, *args)
+
+    p32, _, _, st32 = run(jnp.float32)
+    pbf, _, _, stbf = run(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(pbf.ih), np.asarray(p32.ih),
+                               rtol=0.1, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pbf.ho), np.asarray(p32.ho),
+                               rtol=0.1, atol=2e-3)
+    assert abs(float(stbf.entropy) - float(st32.entropy)) < 0.05
+
+
 def test_windowed_bf16_history_close():
     """With a bf16 history ring the windowed backward walk runs natively in
     bf16 end-to-end (row slices, e_full, the error trajectory stay narrow —
