@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from recur_tpu import nn, engine
-from recur_tpu.models.alphabet import Metadata
+from recur_tpu.models import charmodel
 from recur_tpu.utils.colour import (
     C_ITALIC, C_NORMAL, spectrum_24, spectrum_256)
 
@@ -57,13 +57,10 @@ def main(argv=None) -> int:
 
     nets = [nn.load_net(f) for f in opt.filename]
     net = nets[0]
-    alphabet = Metadata.parse(net.metadata).to_alphabet()
-    for f, other in zip(opt.filename[1:], nets[1:]):
-        oa = Metadata.parse(other.metadata).to_alphabet()
-        if (oa.points, oa.collapsed_points, oa.flags) != (
-                alphabet.points, alphabet.collapsed_points, alphabet.flags):
-            p.error(f"{f}: alphabet differs from {opt.filename[0]} — "
-                    "ensemble members must encode text identically")
+    try:
+        alphabet = charmodel.ensemble_alphabet(nets, opt.filename)
+    except ValueError as e:
+        p.error(str(e))
     prefix = (alphabet.encode(opt.prefix.encode()) if opt.prefix else None)
     for path in opt.files:
         with open(path, "rb") as f:
@@ -99,24 +96,10 @@ def main(argv=None) -> int:
             # hidden state.  Five ~8-minute seed runs of the headline
             # config score 1.94-1.95 bits/char on the erewhon validation
             # tail this way (PERF.md), below any single-net result.
-            all_p = []
-            for member in nets:
-                hidden = jnp.zeros((1, member.cfg.h_size), jnp.float32)
-                if prefix is not None and len(prefix):
-                    hidden, _ = engine.char_forward_seq(
-                        member.cfg, member.params, hidden,
-                        jnp.asarray(prefix, jnp.int32)[None])
-                _, outs = engine.char_forward_seq(
-                    member.cfg, member.params, hidden,
-                    jnp.asarray(text[:-1], jnp.int32)[None])
-                all_p.append(np.asarray(jax.nn.softmax(
-                    outs[0, :, :member.cfg.output_size], axis=-1)))
-            stacked = np.stack(all_p)
-            if opt.ensemble_op == "mixture":
-                q = stacked.mean(axis=0)
-            else:
-                q = np.exp(np.log(stacked + 1e-30).mean(axis=0))
-                q /= q.sum(axis=-1, keepdims=True)
+            stacked = np.stack([
+                charmodel.member_probs(member, text, prefix=prefix)
+                for member in nets])
+            q = charmodel.combine_probs(stacked, opt.ensemble_op)
             surprise = -np.log2(
                 q[np.arange(len(targets)), targets] + 1e-30)
         mean = float(surprise[opt.ignore_first:].mean())

@@ -162,6 +162,60 @@ class Ventropy:
         return self.entropy
 
 
+def ensemble_alphabet(nets, names=None) -> Alphabet:
+    """The shared alphabet of an ensemble's members.
+
+    Raises ValueError if any member encodes text differently — scoring with
+    mismatched alphabets indexes every other member's softmax with the wrong
+    token ids and produces plausible-looking nonsense."""
+    from recur_tpu.models.alphabet import Metadata
+    names = list(names) if names else [f"net {i}" for i in range(len(nets))]
+    alpha = Metadata.parse(nets[0].metadata).to_alphabet()
+    for name, other in zip(names[1:], nets[1:]):
+        oa = Metadata.parse(other.metadata).to_alphabet()
+        if (oa.points, oa.collapsed_points, oa.flags) != (
+                alpha.points, alpha.collapsed_points, alpha.flags):
+            raise ValueError(f"{name}: alphabet differs from {names[0]} — "
+                             "ensemble members must encode text identically")
+    return alpha
+
+
+def member_probs(net: Net, tokens, prefix=None,
+                 warm_laps: int = 0) -> np.ndarray:
+    """One ensemble member's predictive distributions over tokens[1:].
+
+    Runs the net from zero hidden — optionally primed with `prefix` tokens
+    and/or `warm_laps` full passes over `tokens` first.  One warm lap
+    reproduces Ventropy's carried hidden state (the training logs'
+    v_entropy always scores with a hidden warmed by earlier validation
+    passes of the same text), making scores directly comparable to logged
+    best_v_entropy values; warm_laps=0 is a cold-start score."""
+    hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
+    x = jnp.asarray(np.asarray(tokens[:-1], np.int32))[None]
+    if prefix is not None and len(prefix):
+        # rnn_char_prime (text-cross-entropy.c:145-148)
+        hidden, _ = engine.char_forward_seq(
+            net.cfg, net.params, hidden,
+            jnp.asarray(np.asarray(prefix, np.int32))[None])
+    for _ in range(warm_laps):
+        hidden, _ = engine.char_forward_seq(net.cfg, net.params, hidden, x)
+    _, outs = engine.char_forward_seq(net.cfg, net.params, hidden, x)
+    return np.asarray(jax.nn.softmax(
+        outs[0, :, :net.cfg.output_size], axis=-1))
+
+
+def combine_probs(stacked: np.ndarray, op: str = "mixture") -> np.ndarray:
+    """Combine ensemble members' [n, T, vocab] predictive distributions:
+    arithmetic mixture of probabilities (default) or renormalised geometric
+    mean (product of experts)."""
+    if op == "mixture":
+        return stacked.mean(axis=0)
+    if op == "geometric":
+        q = np.exp(np.log(stacked + 1e-30).mean(axis=0))
+        return q / q.sum(axis=-1, keepdims=True)
+    raise ValueError(f"unknown ensemble op {op!r}")
+
+
 class CharModel:
     """RnnCharModel + rnn_char_epoch: the full training harness."""
 

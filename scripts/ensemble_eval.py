@@ -1,14 +1,19 @@
 #!/usr/bin/env python
 """Score a seed ensemble on the char-LM validation protocol.
 
-Replicates text-predict's validation exactly (last --validate-chars encoded
-symbols of the corpus, zero initial hidden, skip 5 — Ventropy,
-charmodel-predict.c:216-257) for each net alone and for the per-char
-mixture of all nets' predictive distributions.  Independent seed runs of
-the same operating point disagree usefully: five ~8-minute h=199 EMA runs
-that each validate at ~2.13-2.16 bits/char score ~1.95 as a mixture —
-below the reference's "≈2" headline, which its own binary never reaches
-(best 2.3185, artifacts/ref_longrun/).
+Scores the last --validate-chars encoded symbols of the corpus (skip 5 —
+Ventropy, charmodel-predict.c:216-257) for each net alone and for the
+per-char mixture of all nets' predictive distributions.  By default each
+net's hidden state is warmed with one full pass over the validation tail
+first, reproducing Ventropy's carried hidden (the training logs' v_entropy
+always scores with a hidden warmed by earlier validation passes), so per-net
+numbers are directly comparable to logged best_v_entropy values; pass
+--warm-laps 0 for a cold start.  Members must share an alphabet.
+
+Independent seed runs of the same operating point disagree usefully: five
+~8-minute h=199 EMA runs that each validate at ~2.13-2.16 bits/char score
+~1.95 as a mixture — below the reference's "≈2" headline, which its own
+binary never reaches (best 2.3185, artifacts/ref_longrun/).
 
     PYTHONPATH=/root/repo python scripts/ensemble_eval.py \
         --text /root/reference/test-images/erewhon.txt \
@@ -21,11 +26,10 @@ import json
 import sys
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from recur_tpu import nn, engine
-from recur_tpu.models.alphabet import Metadata
+from recur_tpu import nn
+from recur_tpu.models.charmodel import (
+    combine_probs, ensemble_alphabet, member_probs)
 
 
 def main(argv=None) -> int:
@@ -38,15 +42,22 @@ def main(argv=None) -> int:
     p.add_argument("--validate-chars", type=int, default=10000)
     p.add_argument("--skip", type=int, default=5,
                    help="chars to ignore at segment start (Ventropy)")
+    p.add_argument("--warm-laps", type=int, default=1,
+                   help="full passes over the tail to warm each hidden "
+                        "state before scoring (1 = Ventropy's carried "
+                        "hidden; 0 = cold start)")
     p.add_argument("--out", default=None, help="write a JSON record here")
     opt = p.parse_args(argv)
 
     nets = [nn.load_net(f) for f in opt.nets]
-    alpha = Metadata.parse(nets[0].metadata).to_alphabet()
+    try:
+        alpha = ensemble_alphabet(nets, opt.nets)
+    except ValueError as e:
+        p.error(str(e))
     with open(opt.text, "rb") as f:
         text = alpha.encode(f.read())
     v = np.asarray(text[-opt.validate_chars:], dtype=np.int32)
-    x, y = jnp.asarray(v[:-1])[None], v[1:]
+    y = v[1:]
 
     def xe(q):
         picked = q[np.arange(len(y)), y]
@@ -54,17 +65,15 @@ def main(argv=None) -> int:
 
     per_net, all_p = {}, []
     for path, net in zip(opt.nets, nets):
-        hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
-        _, outs = engine.char_forward_seq(net.cfg, net.params, hidden, x)
-        prob = np.asarray(jax.nn.softmax(
-            outs[0, :, :net.cfg.output_size], axis=-1))
+        prob = member_probs(net, v, warm_laps=opt.warm_laps)
         all_p.append(prob)
         per_net[path] = xe(prob)
         print(f"{path}: {per_net[path]:.4f} bits/char", flush=True)
 
-    mix = xe(np.stack(all_p).mean(axis=0))
+    mix = xe(combine_probs(np.stack(all_p)))
     print(f"ensemble mixture of {len(nets)}: {mix:.4f} bits/char")
     record = {"text": opt.text, "validate_chars": opt.validate_chars,
+              "warm_laps": opt.warm_laps,
               "per_net": per_net, "ensemble_mixture": mix}
     if opt.out:
         with open(opt.out, "w") as f:
