@@ -85,6 +85,27 @@ PROBES = [
                               "--ema-weight", "0.99995",
                               "--rng-seed", str(s)])
       for s in range(6, 11)],
+    # round-3c: the 128-tap arm beat every 256-tap run (2.1085 vs the
+    # 2.1166 record) — fewer taps = noisier summed gradient, which at
+    # this capacity generalises better.  Push the lever further (64
+    # taps), spread t128 seeds (ensemble members), and give t128 the
+    # slow-EMA long-run treatment.
+    ("h199-n10-ema-t64", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.1", "--ema-weight", "0.99995",
+                          "--multi-tap", "64", "--learn-rate", "2e-5"]),
+    *[(f"h199-n10-ema-t128-s{s}", ["--hidden-size", "199",
+                                   "--presynaptic-noise", "0.1",
+                                   "--ema-weight", "0.99995",
+                                   "--multi-tap", "128",
+                                   "--learn-rate", "1e-5",
+                                   "--rng-seed", str(s)])
+      for s in (2, 3, 4)],
+    ("h199-n10-ema-t128-slow", ["--hidden-size", "199",
+                                "--presynaptic-noise", "0.1",
+                                "--ema-weight", "0.99999",
+                                "--multi-tap", "128",
+                                "--learn-rate", "1e-5",
+                                "--stop-after", "3000000"]),
 ]
 
 
