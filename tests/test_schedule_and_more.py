@@ -93,6 +93,73 @@ class TestVentropy:
         assert sum(1 for h in v.history if h != 0.0) == 4
 
 
+class TestEnsembleHelpers:
+    def _net(self, seed):
+        from recur_tpu.models.alphabet import Alphabet as A
+        a = A.from_chars(" abcdefg")
+        net = nn.new_net(len(a), 17, len(a), rng_seed=seed, depth=6)
+        winit.randomise_weights(net)
+        from recur_tpu.models.alphabet import Metadata
+        net.metadata = Metadata.from_alphabet(a).construct()
+        return a, net
+
+    def test_ensemble_alphabet_shared_and_mismatched(self):
+        from recur_tpu.models.charmodel import ensemble_alphabet
+        a, n1 = self._net(1)
+        _, n2 = self._net(2)
+        alpha = ensemble_alphabet([n1, n2], ["one", "two"])
+        assert alpha.points == a.points
+        from recur_tpu.models.alphabet import Alphabet as A, Metadata
+        b = A.from_chars(" abcdefgh")   # one extra symbol
+        n3 = nn.new_net(len(b), 17, len(b), rng_seed=3, depth=6)
+        n3.metadata = Metadata.from_alphabet(b).construct()
+        with pytest.raises(ValueError, match="three"):
+            ensemble_alphabet([n1, n3], ["one", "three"])
+
+    def test_member_probs_are_distributions(self):
+        from recur_tpu.models.charmodel import member_probs
+        a, net = self._net(1)
+        toks = np.tile(np.arange(8, dtype=np.int32), 10)
+        p0 = member_probs(net, toks)
+        assert p0.shape == (len(toks) - 1, net.cfg.output_size)
+        np.testing.assert_allclose(p0.sum(axis=-1), 1.0, rtol=1e-5)
+        p1 = member_probs(net, toks, warm_laps=1)
+        assert not np.allclose(p0, p1)   # the warm hidden matters
+
+    def test_warm_lap_reproduces_ventropy_carried_hidden(self):
+        # member_probs(warm_laps=1) must score exactly what Ventropy's
+        # SECOND pass over the same text scores (the training logs'
+        # v_entropy protocol): first calc warms the hidden, second scores
+        # with it carried.
+        from recur_tpu.models.charmodel import member_probs
+        a, net = self._net(5)
+        rng = np.random.default_rng(0)
+        toks = rng.integers(0, 8, 300).astype(np.int32)
+        v = Ventropy(net.cfg, toks)
+        v.calc(net.params)
+        second = v.calc(net.params)
+        skip = min(len(toks) // 10, 5)
+        q = member_probs(net, toks, warm_laps=1)
+        picked = q[np.arange(len(toks) - 1), toks[1:]]
+        mine = float(-np.log2(picked + 1e-30)[skip:].mean())
+        assert abs(mine - second) < 1e-4, (mine, second)
+
+    def test_combine_probs_ops(self):
+        from recur_tpu.models.charmodel import combine_probs
+        rng = np.random.default_rng(3)
+        stacked = rng.random((3, 7, 5))
+        stacked /= stacked.sum(axis=-1, keepdims=True)
+        mix = combine_probs(stacked, "mixture")
+        np.testing.assert_allclose(mix, stacked.mean(axis=0))
+        geo = combine_probs(stacked, "geometric")
+        np.testing.assert_allclose(geo.sum(axis=-1), 1.0, rtol=1e-6)
+        expected = np.exp(np.log(stacked + 1e-30).mean(axis=0))
+        expected /= expected.sum(axis=-1, keepdims=True)
+        np.testing.assert_allclose(geo, expected, rtol=1e-6)
+        with pytest.raises(ValueError):
+            combine_probs(stacked, "median")
+
+
 class TestEpochReporting:
     def test_epoch_runs_and_logs(self, tmp_path):
         from recur_tpu.utils.kvlog import KvLog
