@@ -103,6 +103,16 @@ def build_parser() -> argparse.ArgumentParser:
       help="per-generation decay for Polyak weight averaging (e.g. "
            "0.9999); validation then scores the averaged net, saved "
            "alongside as <net>.ema (beyond-reference extension)")
+    a("--distill-from", action="append", default=[], metavar="NET",
+      help="frozen teacher net(s) for ensemble distillation (repeatable): "
+           "the training target blends toward the teachers' predictive "
+           "mixture, computed in-graph with per-stream carried teacher "
+           "hiddens (beyond-reference extension)")
+    a("--distill-alpha", type=float, default=1.0,
+      help="soft-target weight: 0 = pure hard labels, 1 = pure teacher "
+           "mixture (default 1.0)")
+    a("--distill-temp", type=float, default=1.0,
+      help="teacher softmax temperature (default 1.0)")
     a("--bptt-impl", default="buffered",
       choices=["buffered", "twopass", "factored"],
       help="BPTT gradient formulation: buffered einsum, twopass (trades "
@@ -228,7 +238,20 @@ def main(argv=None) -> int:
     n_streams = max(opt.multi_tap, 1)
     log = KvLog(opt.log_file)
     import jax.numpy as jnp
+    teachers = []
+    if opt.distill_from:
+        from recur_tpu.models.charmodel import ensemble_alphabet
+        teachers = [nn.load_net(f) for f in opt.distill_from]
+        try:
+            ensemble_alphabet([net] + teachers,
+                              ["the student net"] + opt.distill_from)
+        except ValueError as e:
+            print(f"text-predict: error: {e}", file=sys.stderr)
+            return 2
     model = CharModel(net, alphabet, n_streams=n_streams,
+                      distill_teachers=teachers,
+                      distill_alpha=opt.distill_alpha,
+                      distill_temp=opt.distill_temp,
                       learning_style=style, batch_size=opt.batch_size,
                       momentum_soft_start=opt.momentum_soft_start,
                       report_interval=opt.report_interval,

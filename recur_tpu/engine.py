@@ -239,6 +239,113 @@ def char_train_chunk_xy(cfg: RnnConfig, hyper: TrainHyper,
                             momentum_target, presynaptic_noise)
 
 
+# ----------------------------------------------------------------------------
+# ensemble distillation (beyond the reference): train a student on soft
+# targets from frozen teacher nets running in the same jitted scan
+# ----------------------------------------------------------------------------
+
+def char_distill_step(cfg: RnnConfig, hyper: TrainHyper, tcfgs,
+                      params: RnnParams, bptt: BpttState, state: RnnState,
+                      t_hiddens, t_params, x_tok: jax.Array, y_tok: jax.Array,
+                      key: jax.Array, momentum_target: jax.Array,
+                      presynaptic_noise: jax.Array, alpha: jax.Array,
+                      temp: jax.Array):
+    """char_train_step with the error blended toward an in-graph teacher
+    ensemble's predictive mixture (knowledge distillation, Hinton et al.
+    2015).  Teachers are frozen: each runs one clean forward per char on the
+    same one-hot input, carrying its own hidden state [S, h_k]; the target
+    becomes (1-alpha)*onehot(y) + alpha*mean_k softmax(logits_k / temp).
+    alpha=0 reproduces char_train_step bit-for-bit (same key splits).
+
+    The teacher forwards add ~2K matmuls per char next to the walk's
+    depth*1; at flagship shapes a 6-teacher distillation costs ~40% extra
+    FLOPs.  Stats keep their hard-label meaning (p_target, winner vs y)."""
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
+    nk, ck = jax.random.split(key)
+    fwd = forward_step(cfg, params, state.hidden, x,
+                       noise_key=nk if hyper.use_noise else None,
+                       presynaptic_noise=presynaptic_noise)
+    if hyper.bptt_impl == "factored":
+        state = advance_history_factored(state, fwd.input_row, x_tok)
+    else:
+        state = advance_history(state, fwd.input_row)
+    state = dataclasses.replace(state, hidden=fwd.hidden)
+
+    o_error, winner, p_target = softmax_best_guess_error(
+        fwd.output[:, :cfg.output_size], y_tok)
+    # teacher mixture over the student's (shared-alphabet) output slots
+    new_th = []
+    q_sum = jnp.zeros_like(o_error)
+    for tcfg, tp, th in zip(tcfgs, t_params, t_hiddens):
+        tf = forward_step(tcfg, tp, th, x)
+        new_th.append(tf.hidden)
+        q_sum = q_sum + jax.nn.softmax(
+            tf.output[:, :cfg.output_size] / temp, axis=-1)
+    q_mix = q_sum / len(tcfgs)
+    onehot = jax.nn.one_hot(y_tok, cfg.output_size, dtype=o_error.dtype)
+    # o_error is onehot - p (the negative XE gradient, ops/core.py:93-109);
+    # blending the target toward q_mix adds alpha * (q_mix - onehot)
+    o_error = o_error + alpha * (q_mix - onehot)
+    o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
+
+    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True,
+                                     walk_unroll=hyper.walk_unroll)
+    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
+                  bptt.min_error_factor, bptt.learn_rate)
+    params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                  d.ho_delta, d.bottom_delta,
+                                  hyper.learning_style, momentum,
+                                  hyper.bottom_learn_rate_scale)
+    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                               ih_scale=d.stats["ih_scale"],
+                               generation=bptt.generation + 1)
+    if hyper.condition:
+        params, bptt = condition_net(cfg, params, bptt, ck)
+
+    stats = StepStats(
+        error=1.0 - p_target,
+        entropy=-capped_log2(p_target),
+        correct=(winner == y_tok).astype(jnp.float32),
+        depth=d.stats["depth"],
+        ih_scale=d.stats["ih_scale"],
+        top_error=d.stats["top_error_scaled"],
+        bptt_error=d.stats["error_sum"],
+    )
+    return params, bptt, state, tuple(new_th), stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
+def char_distill_chunk_xy(cfg: RnnConfig, hyper: TrainHyper, tcfgs,
+                          params: RnnParams, bptt: BpttState,
+                          state: RnnState, t_hiddens, t_params,
+                          xs_tokens: jax.Array, ys_tokens: jax.Array,
+                          key: jax.Array, momentum_target: jax.Array,
+                          presynaptic_noise: jax.Array, alpha: jax.Array,
+                          temp: jax.Array):
+    """char_train_chunk_xy with in-graph teacher soft targets.  t_hiddens is
+    a tuple of [S, h_k] carried teacher states (donated); t_params a tuple of
+    frozen teacher RnnParams."""
+    xs = jnp.moveaxis(xs_tokens, 1, 0)   # [T, S]
+    ys = jnp.moveaxis(ys_tokens, 1, 0)
+    keys = jax.random.split(key, xs.shape[0])
+
+    def body(carry, inp):
+        params, bptt, state, th = carry
+        x_tok, y_tok, k = inp
+        params, bptt, state, th, stats = char_distill_step(
+            cfg, hyper, tcfgs, params, bptt, state, th, t_params,
+            x_tok, y_tok, k, momentum_target, presynaptic_noise, alpha, temp)
+        return (params, bptt, state, th), jax.tree.map(jnp.sum, stats)
+
+    (params, bptt, state, t_hiddens), stats = jax.lax.scan(
+        body, (params, bptt, state, t_hiddens), (xs, ys, keys),
+        unroll=getattr(hyper, "unroll", 1))
+    totals = jax.tree.map(jnp.sum, stats)
+    return params, bptt, state, t_hiddens, totals
+
+
 def _char_window_scan(cfg, hyper, params, bptt, state, xs, ys, key,
                       momentum_target, presynaptic_noise):
     """Windowed diachronic-batch training: scan over batch_size-char

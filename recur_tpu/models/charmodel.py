@@ -230,7 +230,9 @@ class CharModel:
                  unroll: int = 1, walk_unroll: int = 1,
                  periodic_pgm_dump: str = "",
                  temporal_pgm_dump: bool = False, basename: str = "net",
-                 ema_weight: float = 0.0):
+                 ema_weight: float = 0.0,
+                 distill_teachers: Optional[list] = None,
+                 distill_alpha: float = 1.0, distill_temp: float = 1.0):
         self.net = net
         self.alphabet = alphabet
         self.cfg = net.cfg
@@ -288,6 +290,31 @@ class CharModel:
         self.ema_params = (jax.tree.map(jnp.copy, self.params)
                            if self.ema_weight > 0.0 else None)
         self._raw_ventropy = None
+        # ensemble distillation (beyond-reference, engine.char_distill_step):
+        # frozen teacher nets run in the training scan and blend the target
+        # toward their predictive mixture.  Teachers must share the
+        # student's alphabet (same output slots); each carries its own
+        # per-stream hidden state so its predictions are as warmed as the
+        # student's.
+        self.distill_alpha = float(distill_alpha)
+        self.distill_temp = float(distill_temp)
+        self._teacher_cfgs = ()
+        self._teacher_params = ()
+        self._teacher_hiddens = ()
+        if distill_teachers:
+            if batch_size > 1:
+                raise ValueError("distillation requires batch_size == 1")
+            for t in distill_teachers:
+                if t.cfg.output_size != net.cfg.output_size:
+                    raise ValueError(
+                        f"teacher output size {t.cfg.output_size} != "
+                        f"student {net.cfg.output_size} — teachers must "
+                        "share the student's alphabet")
+            self._teacher_cfgs = tuple(t.cfg for t in distill_teachers)
+            self._teacher_params = tuple(t.params for t in distill_teachers)
+            self._teacher_hiddens = tuple(
+                jnp.zeros((n_streams, t.cfg.h_size), jnp.float32)
+                for t in distill_teachers)
         # confab state
         self._confab_hidden = jnp.zeros((1, net.cfg.h_size), jnp.float32)
         self._confab_char = 0
@@ -416,16 +443,29 @@ class CharModel:
             # --batch-size > 1 runs the windowed batched-walk formulation
             # wherever the piece divides into apply windows (the sequential
             # path covers ragged tails and non-buffered impls exactly)
-            chunk_fn = (engine.char_train_window_chunk_xy
-                        if self.hyper.batch_size > 1
-                        and not self.cfg.has_bottom
-                        and self.hyper.bptt_impl == "buffered"
-                        and n % self.hyper.batch_size == 0
-                        else engine.char_train_chunk_xy)
-            self.params, self.bptt, self.state, totals = chunk_fn(
-                self.cfg, self.hyper, self.params, self.bptt, self.state,
-                xs_tok, ys_tok, self._next_key(), jnp.float32(self.momentum),
-                jnp.float32(self.presynaptic_noise))
+            if self._teacher_cfgs:
+                (self.params, self.bptt, self.state, self._teacher_hiddens,
+                 totals) = engine.char_distill_chunk_xy(
+                    self.cfg, self.hyper, self._teacher_cfgs,
+                    self.params, self.bptt, self.state,
+                    self._teacher_hiddens, self._teacher_params,
+                    xs_tok, ys_tok, self._next_key(),
+                    jnp.float32(self.momentum),
+                    jnp.float32(self.presynaptic_noise),
+                    jnp.float32(self.distill_alpha),
+                    jnp.float32(self.distill_temp))
+            else:
+                chunk_fn = (engine.char_train_window_chunk_xy
+                            if self.hyper.batch_size > 1
+                            and not self.cfg.has_bottom
+                            and self.hyper.bptt_impl == "buffered"
+                            and n % self.hyper.batch_size == 0
+                            else engine.char_train_chunk_xy)
+                self.params, self.bptt, self.state, totals = chunk_fn(
+                    self.cfg, self.hyper, self.params, self.bptt, self.state,
+                    xs_tok, ys_tok, self._next_key(),
+                    jnp.float32(self.momentum),
+                    jnp.float32(self.presynaptic_noise))
             self._pull_scalars()
             self._update_ema(n)
             acc["error"] += float(totals.error)

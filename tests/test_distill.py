@@ -1,0 +1,127 @@
+"""Ensemble distillation (engine.char_distill_step / CharModel
+distill_teachers): soft targets from frozen in-graph teachers.
+
+alpha=0 must reproduce the plain training chunk bit-for-bit; alpha=1
+trains the student toward the teachers' predictive mixture."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recur_tpu import engine, nn
+from recur_tpu.engine import TrainHyper
+from recur_tpu.models.alphabet import Alphabet, Metadata
+from recur_tpu.models.charmodel import CharModel, Ventropy
+from recur_tpu.ops import init as winit
+
+
+def make_net(seed, h=17, chars=" abcdefg", activation=None):
+    from recur_tpu.nn import Activation
+    a = Alphabet.from_chars(chars)
+    net = nn.new_net(len(a), h, len(a), rng_seed=seed, depth=6,
+                     learn_rate=0.01, momentum=0.9,
+                     activation=activation or Activation.RELU)
+    winit.randomise_weights(net)
+    net.metadata = Metadata.from_alphabet(a).construct()
+    return a, net
+
+
+def fresh_run_state(net, S):
+    params = jax.tree.map(jnp.copy, net.params)
+    bptt = nn.new_bptt_state(net.cfg, S, learn_rate=net.learn_rate,
+                             momentum=net.momentum)
+    state = nn.new_state(net.cfg, S)
+    return params, bptt, state
+
+
+class TestDistillChunk:
+    def test_alpha_zero_is_plain_training(self):
+        a, student = make_net(1)
+        _, teacher = make_net(2)
+        S, T = 3, 40
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.integers(0, 8, (S, T)), jnp.int32)
+        ys = jnp.asarray(rng.integers(0, 8, (S, T)), jnp.int32)
+        key = jax.random.PRNGKey(7)
+        hyper = TrainHyper(condition=False)
+        mom = jnp.float32(0.9)
+        noise = jnp.float32(0.0)
+
+        p1, b1, s1 = fresh_run_state(student, S)
+        p1, b1, s1, tot1 = engine.char_train_chunk_xy(
+            student.cfg, hyper, p1, b1, s1, xs, ys, key, mom, noise)
+
+        p2, b2, s2 = fresh_run_state(student, S)
+        th = (jnp.zeros((S, teacher.cfg.h_size), jnp.float32),)
+        p2, b2, s2, th, tot2 = engine.char_distill_chunk_xy(
+            student.cfg, hyper, (teacher.cfg,), p2, b2, s2, th,
+            (teacher.params,), xs, ys, key, mom, noise,
+            jnp.float32(0.0), jnp.float32(1.0))
+
+        for f in dataclasses.fields(p1):
+            x, y = getattr(p1, f.name), getattr(p2, f.name)
+            if x is None:
+                assert y is None
+                continue
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), f.name)
+        np.testing.assert_array_equal(np.asarray(tot1.entropy),
+                                      np.asarray(tot2.entropy))
+
+    def test_distillation_reaches_the_teacher(self):
+        # teach the teacher a deterministic cycle, then distill a fresh
+        # student from it with blended soft targets: the student must land
+        # at or below the teacher's own score.  ReSQRT like every toy
+        # trainer here - tiny plain-ReLU recurrences sit on the forward
+        # gain knife edge (CLAUDE.md round-2 learnings) and hard-to-soft
+        # target switches can push an h=17 net over it.
+        from recur_tpu.nn import Activation
+        a, teacher = make_net(3, activation=Activation.RESQRT)
+        text = np.asarray(a.encode(b"abcdefg " * 60), np.int32)
+        tmodel = CharModel(teacher, a, n_streams=2, save_net=False)
+        tmodel.learn_rate = 0.3
+        for _ in range(20):
+            tmodel.epoch(text, quietness=3)
+        teacher.params = tmodel.params
+        t_xe = tmodel.cross_entropy(text)
+        assert t_xe < 2.0   # the teacher actually knows the text
+
+        _, student = make_net(4, activation=Activation.RESQRT)
+        smodel = CharModel(student, a, n_streams=2, save_net=False,
+                           distill_teachers=[teacher], distill_alpha=0.5)
+        smodel.learn_rate = 0.1
+        before = smodel.cross_entropy(text)
+        for _ in range(30):
+            smodel.epoch(text, quietness=3)
+        after = smodel.cross_entropy(text)
+        assert after < before - 0.5, (before, after)
+        assert after < t_xe + 0.2, (after, t_xe)
+
+    def test_teacher_hiddens_carry_across_chunks(self):
+        a, student = make_net(5)
+        _, teacher = make_net(6)
+        smodel = CharModel(student, a, n_streams=2, save_net=False,
+                           distill_teachers=[teacher])
+        text = np.asarray(a.encode(b"gfedcba " * 40), np.int32)
+        z = np.asarray(smodel._teacher_hiddens[0]).copy()
+        smodel.epoch(text, quietness=3)
+        assert not np.allclose(np.asarray(smodel._teacher_hiddens[0]), z)
+
+
+class TestDistillCtorGuards:
+    def test_output_size_mismatch_raises(self):
+        a, student = make_net(1)
+        _, other = make_net(2, chars=" abcdefgh")
+        with pytest.raises(ValueError, match="alphabet"):
+            CharModel(student, a, n_streams=2, save_net=False,
+                      distill_teachers=[other])
+
+    def test_batch_size_guard(self):
+        a, student = make_net(1)
+        _, teacher = make_net(2)
+        with pytest.raises(ValueError, match="batch_size"):
+            CharModel(student, a, n_streams=2, save_net=False, batch_size=4,
+                      distill_teachers=[teacher])
