@@ -290,6 +290,13 @@ class CharModel:
         self.ema_params = (jax.tree.map(jnp.copy, self.params)
                            if self.ema_weight > 0.0 else None)
         self._raw_ventropy = None
+        # record-validation snapshot: long runs decay past their best
+        # point (the trend schedule rides the floor while v_entropy climbs
+        # back up), so the net that validation actually crowned is saved
+        # as <filename>.best whenever v_entropy sets a new record — the
+        # same save-on-record semantics as classify.py's decaying-record
+        # auto-save (SURVEY §2.8), applied to the char pillar.
+        self._best_vent = float("inf")
         # ensemble distillation (beyond-reference, engine.char_distill_step):
         # frozen teacher nets run in the training scan and blend the target
         # toward their predictive mixture.  Teachers must share the
@@ -560,6 +567,10 @@ class CharModel:
             self.log.log_float("weight_sum", float(
                 np.abs(np.asarray(self.params.ih)).sum()))
         self.log.flush()
+        if (ventropy and self.save_net and self.filename
+                and vent < self._best_vent):
+            self._best_vent = vent
+            self._save_snapshot(v_params, self.filename + ".best")
         if self.save_net and self.filename:
             self.save(self.filename, backup=True)
         self.schedule.eval(self, vent, quietness < 2)
@@ -578,6 +589,15 @@ class CharModel:
     def _finalize(self):
         if self.save_net and self.filename:
             self.save(self.filename, backup=True)
+
+    def _save_snapshot(self, params, filename: str):
+        """Write `params` (the validation-scored weights) as a .net file
+        without disturbing the live net."""
+        raw, gen = self.net.params, self.net.generation
+        self.net.params = params
+        self.net.generation = self.generation
+        nn.save_net(self.net, filename, backup=False)
+        self.net.params, self.net.generation = raw, gen
 
     def save(self, filename: str, backup: bool = False):
         """Sync device state back into the host Net and write the .net file.

@@ -173,6 +173,38 @@ class TestEpochReporting:
             assert key in log, key
 
 
+class TestBestSnapshot:
+    def test_best_net_saved_at_validation_record(self, tmp_path):
+        from recur_tpu.utils.kvlog import KvLog
+        fn = str(tmp_path / "snap.net")
+        a, model = make_model(report_interval=128, save_net=True,
+                              log=KvLog(str(tmp_path / "snap.log")))
+        model.filename = fn
+        model.learn_rate = 0.1
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 600).astype(np.int32)
+        v = Ventropy(model.cfg, text[:120])
+        for _ in range(4):
+            model.epoch(text, ventropy=v, quietness=3)
+        assert (tmp_path / "snap.net.best").exists()
+        logged = [float(line.split()[1])
+                  for line in (tmp_path / "snap.log").read_text().splitlines()
+                  if line.startswith("v_entropy ")]
+        # the log rounds to 5 significant digits
+        assert abs(model._best_vent - min(logged)) < 1e-3
+        best = nn.load_net(fn + ".best")
+        assert best.cfg.h_size == model.cfg.h_size
+
+    def test_no_snapshot_without_validation(self, tmp_path):
+        fn = str(tmp_path / "nosnap.net")
+        a, model = make_model(report_interval=128, save_net=True)
+        model.filename = fn
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 400).astype(np.int32)
+        model.epoch(text, quietness=3)
+        assert not (tmp_path / "nosnap.net.best").exists()
+
+
 class TestReportImageDumps:
     def test_periodic_pgm_dump_writes_images(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
