@@ -106,6 +106,17 @@ PROBES = [
                                 "--multi-tap", "128",
                                 "--learn-rate", "1e-5",
                                 "--stop-after", "3000000"]),
+    # ensemble distillation: a fresh student against the 6 best/most
+    # diverse seed-ensemble members as in-graph teachers (the 12-member
+    # warm mixture scores 1.9271; a student that recovers part of that
+    # gap beats every single-net run)
+    *[(f"h199-distill-a{int(a * 100)}",
+       ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+        "--ema-weight", "0.99995", "--distill-alpha", str(a)]
+       + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+          for x in ("--distill-from",
+                    f"artifacts/sweep/h199-n10-ema-{t}.net.ema")])
+      for a in (0.5, 1.0)],
 ]
 
 
