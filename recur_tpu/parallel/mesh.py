@@ -138,6 +138,37 @@ def sharded_train_chunk(mesh: Mesh, cfg: RnnConfig, hyper):
 # multihead head sharding (expert parallelism over output blocks)
 # ---------------------------------------------------------------------------
 
+def sharded_distill_chunk(mesh: Mesh, cfg: RnnConfig, hyper, tcfgs):
+    """engine.char_distill_chunk_xy jitted with mesh shardings: student
+    streams over 'data', student hidden dim over 'model'; frozen teacher
+    params replicated (they are read-only and small next to the student's
+    optimizer state), teacher hiddens sharded over 'data' alongside the
+    student streams they track.  Returns fn(params, bptt, state, t_hiddens,
+    t_params, xs, ys, key, momentum, noise, alpha, temp)."""
+    rep = NamedSharding(mesh, P())
+    data2 = NamedSharding(mesh, P("data", None))
+    pspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _param_specs(cfg))
+    bspec = jax.tree.map(lambda s: NamedSharding(mesh, s), _bptt_specs(cfg))
+    sspec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         _state_specs(cfg, factored=(getattr(
+                             hyper, "bptt_impl", "buffered") == "factored")))
+    th_spec = tuple(data2 for _ in tcfgs)
+    tp_spec = tuple(jax.tree.map(lambda _: rep, _param_specs(tcfg))
+                    for tcfg in tcfgs)
+    in_shardings = (pspec, bspec, sspec, th_spec, tp_spec,
+                    data2, data2, rep, rep, rep, rep, rep)
+
+    def fn(params, bptt, state, t_hiddens, t_params, xs, ys, key,
+           momentum, noise, alpha, temp):
+        return engine.char_distill_chunk_xy(
+            cfg, hyper, tcfgs, params, bptt, state, t_hiddens, t_params,
+            xs, ys, key, momentum, noise, alpha, temp)
+
+    out_shardings = (pspec, bspec, sspec, th_spec, rep)
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=out_shardings, donate_argnums=(0, 1, 2, 3))
+
+
 def _mh_param_specs(cfg: RnnConfig) -> RnnParams:
     """Multihead nets put the size in the OUTPUT dim (n_classes x alphabet
     blocks — o=3650 for the caravel author-ID shape), so TP goes on the ho

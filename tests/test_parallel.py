@@ -227,6 +227,56 @@ def test_gspmd_factored_impl():
                                rtol=1e-5)
 
 
+def test_gspmd_distill_chunk():
+    """Ensemble distillation runs sharded (student data x model, teachers
+    replicated, teacher hiddens over 'data') and matches the single-device
+    distill chunk."""
+    from recur_tpu.parallel import sharded_distill_chunk
+    S, T = 16, 12
+    net = nn.new_net(9, 15, 9, rng_seed=3, depth=3, learn_rate=1e-3,
+                     flags=nn.Flag.STANDARD & ~nn.Flag.BPTT_ADAPTIVE_MIN_ERROR)
+    winit.randomise_weights(net)
+    teacher = nn.new_net(9, 11, 9, rng_seed=7, depth=3)
+    winit.randomise_weights(teacher)
+    cfg = net.cfg
+    hyper = TrainHyper(condition=False)
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.integers(0, 9, (S, T)), jnp.int32)
+    ys = jnp.asarray(rng.integers(0, 9, (S, T)), jnp.int32)
+    args = (jax.random.PRNGKey(0), jnp.float32(0.9), jnp.float32(0.0),
+            jnp.float32(0.7), jnp.float32(1.0))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params, bptt, state = shard_train_args(
+        mesh, cfg, jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S))
+    data2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", None))
+    th = (jax.device_put(jnp.zeros((S, teacher.cfg.h_size), jnp.float32),
+                         data2),)
+    tp = (jax.device_put(
+        teacher.params, jax.tree.map(
+            lambda _: jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()), teacher.params)),)
+    xs_s = jax.device_put(xs, data2)
+    ys_s = jax.device_put(ys, data2)
+    p, b, s, th_out, tot = sharded_distill_chunk(
+        mesh, cfg, hyper, (teacher.cfg,))(
+        params, bptt, state, th, tp, xs_s, ys_s, *args)
+
+    th1 = (jnp.zeros((S, teacher.cfg.h_size), jnp.float32),)
+    p1, b1, s1, th1_out, tot1 = engine.char_distill_chunk_xy(
+        cfg, hyper, (teacher.cfg,), jax.tree.map(jnp.copy, net.params),
+        nn.new_bptt_state(cfg, S, 1e-3, 0.9), nn.new_state(cfg, S),
+        th1, (teacher.params,), xs, ys, *args)
+    np.testing.assert_allclose(np.asarray(p.ih), np.asarray(p1.ih),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th_out[0]), np.asarray(th1_out[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(tot.entropy), float(tot1.entropy),
+                               rtol=1e-5)
+
+
 def test_classify_channel_sharding():
     """End-to-end classify training on the mesh (channels over 'data',
     hidden over 'model') equals the single-device classifier exactly —
