@@ -95,19 +95,12 @@ class TrainHyper:
     top_dtype: str = "float32"
 
 
-def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
-                    params: RnnParams, bptt: BpttState, state: RnnState,
-                    x_tok: jax.Array, y_tok: jax.Array, key: jax.Array,
-                    momentum_target: jax.Array, presynaptic_noise: jax.Array,
-                    ):
-    """One character across S streams: forward, error, BPTT, weight update.
-
-    Equivalent to the multi-tap inner loop of rnn_char_epoch
-    (charmodel-predict.c:288-312) with rnn_apply_learning once per step.
-    """
-    S = x_tok.shape[0]
-    momentum = momentum_soft_start(bptt.generation, momentum_target,
-                                   hyper.momentum_soft_start)
+def _char_step_forward(cfg: RnnConfig, hyper: TrainHyper,
+                       params: RnnParams, state: RnnState,
+                       x_tok: jax.Array, key: jax.Array,
+                       presynaptic_noise: jax.Array):
+    """Shared head of the per-char training step: one-hot, forward, ring
+    advance.  Returns (fwd, state, x, conditioning_key)."""
     x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
     nk, ck = jax.random.split(key)
     fwd = forward_step(cfg, params, state.hidden, x,
@@ -118,10 +111,45 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
     else:
         state = advance_history(state, fwd.input_row)
     state = dataclasses.replace(state, hidden=fwd.hidden)
+    return fwd, state, x, ck
 
+
+def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
+                    params: RnnParams, bptt: BpttState, state: RnnState,
+                    x_tok: jax.Array, y_tok: jax.Array, key: jax.Array,
+                    momentum_target: jax.Array, presynaptic_noise: jax.Array,
+                    ):
+    """One character across S streams: forward, error, BPTT, weight update.
+
+    Equivalent to the multi-tap inner loop of rnn_char_epoch
+    (charmodel-predict.c:288-312) with rnn_apply_learning once per step.
+    """
+    momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                   hyper.momentum_soft_start)
+    fwd, state, _, ck = _char_step_forward(cfg, hyper, params, state, x_tok,
+                                           key, presynaptic_noise)
     o_error, winner, p_target = softmax_best_guess_error(
         fwd.output[:, :cfg.output_size], y_tok)
-    # pad o_error back to o_size
+    params, bptt, d = _char_step_apply(cfg, hyper, params, bptt, state, fwd,
+                                       o_error, ck, momentum)
+    stats = StepStats(
+        error=1.0 - p_target,
+        entropy=-capped_log2(p_target),
+        correct=(winner == y_tok).astype(jnp.float32),
+        depth=d.stats["depth"],
+        ih_scale=d.stats["ih_scale"],
+        top_error=d.stats["top_error_scaled"],
+        bptt_error=d.stats["error_sum"],
+    )
+    return params, bptt, state, stats
+
+
+def _char_step_apply(cfg: RnnConfig, hyper: TrainHyper, params: RnnParams,
+                     bptt: BpttState, state: RnnState, fwd, o_error,
+                     ck: jax.Array, momentum: jax.Array):
+    """Shared tail of the per-char training step: BPTT deltas, diachronic
+    accumulation, apply, conditioning.  o_error: [S, output_size] (the
+    negative XE gradient); padded to o_size here."""
     o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
 
     deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True,
@@ -168,17 +196,7 @@ def char_train_step(cfg: RnnConfig, hyper: TrainHyper,
                                generation=gen)
     if hyper.condition:
         params, bptt = condition_net(cfg, params, bptt, ck)
-
-    stats = StepStats(
-        error=1.0 - p_target,
-        entropy=-capped_log2(p_target),
-        correct=(winner == y_tok).astype(jnp.float32),
-        depth=d.stats["depth"],
-        ih_scale=d.stats["ih_scale"],
-        top_error=d.stats["top_error_scaled"],
-        bptt_error=d.stats["error_sum"],
-    )
-    return params, bptt, state, stats
+    return params, bptt, d
 
 
 def _char_chunk_scan(cfg, hyper, params, bptt, state, xs, ys, key,
@@ -255,24 +273,17 @@ def char_distill_step(cfg: RnnConfig, hyper: TrainHyper, tcfgs,
     2015).  Teachers are frozen: each runs one clean forward per char on the
     same one-hot input, carrying its own hidden state [S, h_k]; the target
     becomes (1-alpha)*onehot(y) + alpha*mean_k softmax(logits_k / temp).
-    alpha=0 reproduces char_train_step bit-for-bit (same key splits).
+    alpha=0 reproduces char_train_step bit-for-bit (same key splits), and
+    the shared tail (_char_step_apply) keeps diachronic batch accumulation,
+    conditioning and the adaptive-min-error bookkeeping identical.
 
     The teacher forwards add ~2K matmuls per char next to the walk's
     depth*1; at flagship shapes a 6-teacher distillation costs ~40% extra
     FLOPs.  Stats keep their hard-label meaning (p_target, winner vs y)."""
     momentum = momentum_soft_start(bptt.generation, momentum_target,
                                    hyper.momentum_soft_start)
-    x = jax.nn.one_hot(x_tok, cfg.raw_input_size, dtype=jnp.float32)
-    nk, ck = jax.random.split(key)
-    fwd = forward_step(cfg, params, state.hidden, x,
-                       noise_key=nk if hyper.use_noise else None,
-                       presynaptic_noise=presynaptic_noise)
-    if hyper.bptt_impl == "factored":
-        state = advance_history_factored(state, fwd.input_row, x_tok)
-    else:
-        state = advance_history(state, fwd.input_row)
-    state = dataclasses.replace(state, hidden=fwd.hidden)
-
+    fwd, state, x, ck = _char_step_forward(cfg, hyper, params, state, x_tok,
+                                           key, presynaptic_noise)
     o_error, winner, p_target = softmax_best_guess_error(
         fwd.output[:, :cfg.output_size], y_tok)
     # teacher mixture over the student's (shared-alphabet) output slots
@@ -288,22 +299,8 @@ def char_distill_step(cfg: RnnConfig, hyper: TrainHyper, tcfgs,
     # o_error is onehot - p (the negative XE gradient, ops/core.py:93-109);
     # blending the target toward q_mix adds alpha * (q_mix - onehot)
     o_error = o_error + alpha * (q_mix - onehot)
-    o_error = jnp.pad(o_error, ((0, 0), (0, cfg.o_size - cfg.output_size)))
-
-    deltas_fn = dispatch_calc_deltas(hyper.bptt_impl, factored_ok=True,
-                                     walk_unroll=hyper.walk_unroll)
-    d = deltas_fn(cfg, params, state, fwd.bottom_inputs, o_error,
-                  bptt.min_error_factor, bptt.learn_rate)
-    params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
-                                  d.ho_delta, d.bottom_delta,
-                                  hyper.learning_style, momentum,
-                                  hyper.bottom_learn_rate_scale)
-    bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
-                               ih_scale=d.stats["ih_scale"],
-                               generation=bptt.generation + 1)
-    if hyper.condition:
-        params, bptt = condition_net(cfg, params, bptt, ck)
-
+    params, bptt, d = _char_step_apply(cfg, hyper, params, bptt, state, fwd,
+                                       o_error, ck, momentum)
     stats = StepStats(
         error=1.0 - p_target,
         entropy=-capped_log2(p_target),

@@ -295,8 +295,18 @@ class CharModel:
         # back up), so the net that validation actually crowned is saved
         # as <filename>.best whenever v_entropy sets a new record — the
         # same save-on-record semantics as classify.py's decaying-record
-        # auto-save (SURVEY §2.8), applied to the char pillar.
+        # auto-save (SURVEY §2.8), applied to the char pillar.  A sidecar
+        # <filename>.best.json records the score so a RESUMED run (--reload,
+        # endurance legs) keeps the historical record instead of
+        # overwriting it with its own first (worse) validation.
         self._best_vent = float("inf")
+        if net.generation > 0 and filename:
+            try:
+                import json as _json
+                with open(filename + ".best.json") as f:
+                    self._best_vent = float(_json.load(f)["v_entropy"])
+            except (OSError, ValueError, KeyError):
+                pass
         # ensemble distillation (beyond-reference, engine.char_distill_step):
         # frozen teacher nets run in the training scan and blend the target
         # toward their predictive mixture.  Teachers must share the
@@ -309,8 +319,6 @@ class CharModel:
         self._teacher_params = ()
         self._teacher_hiddens = ()
         if distill_teachers:
-            if batch_size > 1:
-                raise ValueError("distillation requires batch_size == 1")
             for t in distill_teachers:
                 if t.cfg.output_size != net.cfg.output_size:
                     raise ValueError(
@@ -592,12 +600,20 @@ class CharModel:
 
     def _save_snapshot(self, params, filename: str):
         """Write `params` (the validation-scored weights) as a .net file
-        without disturbing the live net."""
+        without disturbing the live net, plus a .json sidecar recording the
+        score (read back on --reload so resumed runs keep the record)."""
         raw, gen = self.net.params, self.net.generation
         self.net.params = params
         self.net.generation = self.generation
+        self.net.learn_rate = float(self.learn_rate)
+        self.net.momentum = float(self.momentum)
+        self.net.min_error_factor = float(self.bptt.min_error_factor[0])
         nn.save_net(self.net, filename, backup=False)
         self.net.params, self.net.generation = raw, gen
+        import json as _json
+        with open(filename + ".json", "w") as f:
+            _json.dump({"v_entropy": self._best_vent,
+                        "generation": self.generation}, f)
 
     def save(self, filename: str, backup: bool = False):
         """Sync device state back into the host Net and write the .net file.

@@ -165,8 +165,22 @@ def sharded_distill_chunk(mesh: Mesh, cfg: RnnConfig, hyper, tcfgs):
             xs, ys, key, momentum, noise, alpha, temp)
 
     out_shardings = (pspec, bspec, sspec, th_spec, rep)
-    return jax.jit(fn, in_shardings=in_shardings,
-                   out_shardings=out_shardings, donate_argnums=(0, 1, 2, 3))
+    jitted = jax.jit(fn, in_shardings=in_shardings,
+                     out_shardings=out_shardings, donate_argnums=(0, 1, 2, 3))
+    factored = getattr(hyper, "bptt_impl", "buffered") == "factored"
+
+    def checked(params, bptt, state, *rest):
+        # fail loudly before jit's opaque pytree/sharding mismatch
+        if (state.tokens is not None) != factored:
+            raise ValueError(
+                f"TrainHyper.bptt_impl={hyper.bptt_impl!r} needs "
+                f"nn.new_state(..., factored={factored}) "
+                f"(state.tokens is "
+                f"{'set' if state.tokens is not None else 'None'})")
+        return jitted(params, bptt, state, *rest)
+
+    checked.lower = jitted.lower
+    return checked
 
 
 def _mh_param_specs(cfg: RnnConfig) -> RnnParams:

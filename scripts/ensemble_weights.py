@@ -96,7 +96,8 @@ def main(argv=None) -> int:
         s, i = min(scored)
         if s >= best_dev:
             break
-        best_dev, _ = s, chosen.append(i)
+        best_dev = s
+        chosen.append(i)
         remaining.remove(i)
     sub_val = xe_bits(val_p[chosen].mean(axis=0), y_val, opt.skip)
     print(f"greedy subset ({len(chosen)} members, dev {best_dev:.4f}): "

@@ -119,9 +119,30 @@ class TestDistillCtorGuards:
             CharModel(student, a, n_streams=2, save_net=False,
                       distill_teachers=[other])
 
-    def test_batch_size_guard(self):
+    def test_alpha_zero_batched_matches_plain_accumulation(self):
+        # the shared step tail keeps diachronic batch accumulation: at
+        # alpha=0 a batch_size=2 distill chunk equals the plain chunk
+        import dataclasses as dc
         a, student = make_net(1)
         _, teacher = make_net(2)
-        with pytest.raises(ValueError, match="batch_size"):
-            CharModel(student, a, n_streams=2, save_net=False, batch_size=4,
-                      distill_teachers=[teacher])
+        S, T = 3, 20
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.integers(0, 8, (S, T)), jnp.int32)
+        ys = jnp.asarray(rng.integers(0, 8, (S, T)), jnp.int32)
+        key = jax.random.PRNGKey(7)
+        hyper = TrainHyper(condition=False, batch_size=2)
+        mom, noise = jnp.float32(0.9), jnp.float32(0.0)
+
+        p1, b1, s1 = fresh_run_state(student, S)
+        p1, b1, s1, tot1 = engine.char_train_chunk_xy(
+            student.cfg, hyper, p1, b1, s1, xs, ys, key, mom, noise)
+
+        p2, b2, s2 = fresh_run_state(student, S)
+        th = (jnp.zeros((S, teacher.cfg.h_size), jnp.float32),)
+        p2, b2, s2, th, tot2 = engine.char_distill_chunk_xy(
+            student.cfg, hyper, (teacher.cfg,), p2, b2, s2, th,
+            (teacher.params,), xs, ys, key, mom, noise,
+            jnp.float32(0.0), jnp.float32(1.0))
+        np.testing.assert_array_equal(np.asarray(p1.ih), np.asarray(p2.ih))
+        np.testing.assert_array_equal(np.asarray(tot1.entropy),
+                                      np.asarray(tot2.entropy))

@@ -195,6 +195,33 @@ class TestBestSnapshot:
         best = nn.load_net(fn + ".best")
         assert best.cfg.h_size == model.cfg.h_size
 
+    def test_resumed_run_keeps_the_historical_record(self, tmp_path):
+        # a resumed run (net.generation > 0) must read the sidecar and not
+        # overwrite a better historical .best with its own first validation
+        import json
+        fn = str(tmp_path / "resume.net")
+        a, model = make_model(report_interval=128, save_net=True)
+        model.filename = fn
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 600).astype(np.int32)
+        v = Ventropy(model.cfg, text[:120])
+        model.epoch(text, ventropy=v, quietness=3)
+        first_best = model._best_vent
+        sidecar = json.load(open(fn + ".best.json"))
+        assert abs(sidecar["v_entropy"] - first_best) < 1e-9
+
+        resumed_net = nn.load_net(fn)
+        assert resumed_net.generation > 0
+        from recur_tpu.models.charmodel import CharModel
+        m2 = CharModel(resumed_net, a, n_streams=2, save_net=True,
+                       filename=fn)
+        assert m2._best_vent == pytest.approx(first_best)
+
+        # a FRESH run (generation 0) starts from scratch
+        a3, m3 = make_model(save_net=True)
+        m3.filename = fn
+        assert m3._best_vent == float("inf")
+
     def test_no_snapshot_without_validation(self, tmp_path):
         fn = str(tmp_path / "nosnap.net")
         a, model = make_model(report_interval=128, save_net=True)
