@@ -120,6 +120,36 @@ PROBES = [
 ]
 
 
+def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
+                 max_wait: float = 14400.0) -> bool:
+    """Block until a trivial axon computation succeeds in a fresh process.
+
+    The tunnel has two failure modes (CLAUDE.md): a wedge, where the first
+    compile RPC hangs forever (the probe times out), and an outage, where
+    backend init fails fast with UNAVAILABLE (the probe exits nonzero).
+    Gating each leg launch on this probe turns futile 25-minute watchdog
+    cycles against a dead endpoint into cheap 2-minute polls that resume
+    training the moment the device returns."""
+    probe = [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones(3).sum()))"]
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            r = subprocess.run(probe, timeout=probe_timeout,
+                               capture_output=True, cwd=REPO)
+            if r.returncode == 0:
+                return True
+            msg = (r.stderr or b"").decode(errors="replace").strip()
+            print(f"tpu probe failed ({msg.splitlines()[-1][:120] if msg else 'rc=%d' % r.returncode}); "
+                  f"retrying in {int(interval)}s", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"tpu probe hung {int(probe_timeout)}s (wedged tunnel); "
+                  f"retrying in {int(interval)}s", flush=True)
+        time.sleep(interval)
+    return False
+
+
 def best_v_entropy(log_path: str):
     best, best_gen, gen = None, 0, 0
     try:
@@ -173,10 +203,15 @@ def main(argv=None) -> int:
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
         # stall watchdog: a wedged tunnel hangs a fresh process forever
-        # (no log output, no CPU); kill + retry up to 3 times.  A dropped
-        # tunnel instead crashes the leg fast (FAILED_PRECONDITION on the
-        # first array read, rc!=0) — equally retryable after a heal wait.
-        for attempt in range(3):
+        # (no log output, no CPU); kill + retry.  A dropped tunnel instead
+        # crashes the leg fast (UNAVAILABLE/FAILED_PRECONDITION, rc!=0).
+        # Every attempt is gated on a cheap health probe so a dead endpoint
+        # costs 2-minute polls, not 25-minute watchdog cycles.
+        for attempt in range(6):
+            if not wait_for_tpu():
+                print(f"sweep probe {tag}: tpu never came back; giving up",
+                      flush=True)
+                break
             rc = run_watched(cmd, log, cwd=REPO)
             if rc == 0:
                 break
@@ -184,7 +219,7 @@ def main(argv=None) -> int:
             print(f"sweep probe {tag}: {kind} (attempt {attempt + 1}); "
                   "waiting for the tunnel to heal then retrying",
                   flush=True)
-            time.sleep(180)
+            time.sleep(120)
         best, best_gen = best_v_entropy(log)
         results.append({"tag": tag, "rc": rc,
                         "best_v_entropy": best, "best_at_gen": best_gen,
