@@ -110,7 +110,8 @@ def classify_compute_bench(unroll: int = 1) -> float:
 
 def caravel_bench(walk_unroll: int = 1, unroll: int = 1,
                   batch_size: int = 1, history_dtype: str = "float32",
-                  top_dtype: str = "float32") -> float:
+                  top_dtype: str = "float32",
+                  bptt_impl: str = "buffered") -> float:
     """Author-ID training throughput (chars/s) on the caravel shape the
     reference's charmodel.so was built for (py-recur-text.c:428-591;
     multi-text net i73-h99-o3650 = 50 heads x 73 symbols): train_batch over
@@ -128,7 +129,7 @@ def caravel_bench(walk_unroll: int = 1, unroll: int = 1,
     net = Net(alphabet, classes, 99, log_file=None, pipeline_depth=2,
               presynaptic_noise=0.0, walk_unroll=walk_unroll, unroll=unroll,
               batch_size=batch_size, history_dtype=history_dtype,
-              top_dtype=top_dtype)
+              top_dtype=top_dtype, bptt_impl=bptt_impl)
     rng = np.random.default_rng(0)
     texts = [rng.integers(0, 73, T, dtype=np.int32) for _ in range(S)]
     doc_classes = [classes[i % 50] for i in range(S)]
@@ -260,7 +261,15 @@ def main():
                    # batched walk, bf16 end-to-end (ties the per-char path
                    # on this tunnel; wins where per-op latency is lower)
                    {"batch_size": 16, "unroll": 4, "walk_unroll": 8,
-                    "top_dtype": "bfloat16", "history_dtype": "bfloat16"}):
+                    "top_dtype": "bfloat16", "history_dtype": "bfloat16"},
+                   # one-hot-factored ring (round-3c: the multihead input
+                   # is a one-hot char, so the ring shrinks i=176 -> W=101
+                   # rows + token ids = ~43% less of the walk's dominant
+                   # HBM traffic, which the round-3b ablation showed is
+                   # the caravel bind)
+                   {"walk_unroll": 8, "top_dtype": "bfloat16",
+                    "history_dtype": "bfloat16", "bptt_impl": "factored"},
+                   {"walk_unroll": 8, "bptt_impl": "factored"}):
             c = caravel_bench(**kw)
             tag = ",".join(f"{k}={v}" for k, v in kw.items())
             print(f"# caravel {tag}: {c:,.0f} chars/s "

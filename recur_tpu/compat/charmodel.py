@@ -110,7 +110,7 @@ class Net:
                  init_method: int = int(InitMethod.FLAT),
                  pipeline_depth: int = 1, unroll: int = 1,
                  walk_unroll: int = 1, history_dtype: str = "float32",
-                 top_dtype: str = "float32",
+                 top_dtype: str = "float32", bptt_impl: str = "buffered",
                  _net: Optional[_nn.Net] = None):
         if batch_size < 1:
             raise ValueError(f"batch_size {batch_size} won't work")
@@ -173,7 +173,7 @@ class Net:
             condition=False, unroll=max(1, int(unroll)),
             walk_unroll=max(1, int(walk_unroll)),
             history_dtype=str(history_dtype),
-            top_dtype=str(top_dtype))
+            top_dtype=str(top_dtype), bptt_impl=str(bptt_impl))
         self._hdtype = jnp.dtype(history_dtype)
         self._params = self.net.params
         self._bptt = _nn.new_bptt_state(cfg, 1, learn_rate=self.net.learn_rate,
@@ -186,7 +186,8 @@ class Net:
             self._set_momentum_values(DEFAULT_ADADELTA_BALLAST)
         elif learning_method == LearningMethod.RPROP:
             self._set_aux_values(1.0)
-        self._state = _nn.new_state(cfg, 1, history_dtype=self._hdtype)
+        self._state = _nn.new_state(cfg, 1, history_dtype=self._hdtype,
+                                    factored=(bptt_impl == "factored"))
         self._key = jax.random.PRNGKey(rng_seed & 0xFFFFFFFF)
         # confab
         self._confab = None
@@ -305,7 +306,9 @@ class Net:
 
     def _resize_streams(self, S: int):
         cfg = self.net.cfg
-        self._state = _nn.new_state(cfg, S, history_dtype=self._hdtype)
+        self._state = _nn.new_state(
+            cfg, S, history_dtype=self._hdtype,
+            factored=(self._hyper.bptt_impl == "factored"))
         mef = jnp.full((S,), float(self._bptt.min_error_factor[0]),
                        jnp.float32)
         self._bptt = dataclasses.replace(

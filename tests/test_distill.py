@@ -111,6 +111,50 @@ class TestDistillChunk:
         assert not np.allclose(np.asarray(smodel._teacher_hiddens[0]), z)
 
 
+class TestMultiheadFactored:
+    def test_factored_matches_buffered(self):
+        # the multihead (author-ID) input is a one-hot char, so the
+        # one-hot-factored ring applies; same math as buffered to f32
+        # tolerance (calc_deltas_factored docstring)
+        from recur_tpu.models.multihead import multihead_train_chunk
+        S, T, alen, n_classes = 6, 24, 9, 4
+        net = nn.new_net(alen, 15, alen * n_classes, rng_seed=2, depth=5,
+                         learn_rate=1e-3)
+        winit.randomise_weights(net)
+        cfg = net.cfg
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(0, alen, (S, T + 1)), jnp.int32)
+        tclass = jnp.asarray(rng.integers(0, n_classes, S), jnp.int32)
+        args = (tokens, tclass, jnp.float32(0.1), jax.random.PRNGKey(3),
+                jnp.float32(0.9), jnp.float32(0.0))
+
+        outs = {}
+        for impl in ("buffered", "factored"):
+            hyper = TrainHyper(condition=False, bptt_impl=impl)
+            p = jax.tree.map(jnp.copy, net.params)
+            b = nn.new_bptt_state(cfg, S, 1e-3, 0.9)
+            s = nn.new_state(cfg, S, factored=(impl == "factored"))
+            p, b, s, stats = multihead_train_chunk(
+                cfg, hyper, alen, p, b, s, *args)
+            outs[impl] = (np.asarray(p.ih), np.asarray(p.ho),
+                          float(stats.entropy))
+        np.testing.assert_allclose(outs["buffered"][0], outs["factored"][0],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(outs["buffered"][1], outs["factored"][1],
+                                   rtol=1e-4, atol=1e-6)
+        assert abs(outs["buffered"][2] - outs["factored"][2]) < 1e-3
+
+    def test_compat_net_accepts_bptt_impl(self):
+        from recur_tpu.compat.charmodel import Alphabet as CAlpha, Net as CNet
+        a = CAlpha(alphabet_chars=" abcdefgh")
+        net = CNet(a, ["x", "y"], 13, log_file=None, bptt_impl="factored",
+                   presynaptic_noise=0.0, bptt_depth=5, rng_seed=4)
+        texts = [a.encode_text(b"ababab " * 10),
+                 a.encode_text(b"cdcdcd " * 10)]
+        net.train_batch(texts, ["x", "y"])
+        assert net._state.tokens is not None
+
+
 class TestDistillCtorGuards:
     def test_output_size_mismatch_raises(self):
         a, student = make_net(1)
