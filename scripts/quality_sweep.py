@@ -132,6 +132,7 @@ def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
     training the moment the device returns."""
     probe = [sys.executable, "-c",
              "import jax, jax.numpy as jnp; "
+             "assert jax.default_backend() != 'cpu', 'fell back to CPU'; "
              "print(float(jnp.ones(3).sum()))"]
     t0 = time.time()
     while time.time() - t0 < max_wait:
