@@ -208,6 +208,7 @@ def main(argv=None) -> int:
         # crashes the leg fast (UNAVAILABLE/FAILED_PRECONDITION, rc!=0).
         # Every attempt is gated on a cheap health probe so a dead endpoint
         # costs 2-minute polls, not 25-minute watchdog cycles.
+        rc = STALLED
         for attempt in range(6):
             if not wait_for_tpu():
                 print(f"sweep probe {tag}: tpu never came back; giving up",
