@@ -216,6 +216,56 @@ def combine_probs(stacked: np.ndarray, op: str = "mixture") -> np.ndarray:
     raise ValueError(f"unknown ensemble op {op!r}")
 
 
+def ensemble_confabulate(nets, alphabet: Alphabet, char_len: int,
+                         bias: float = 0.0, prefix=None, seed: int = 0,
+                         start_point: int = -1, stop_point: int = -1,
+                         ensemble_op: str = "mixture") -> str:
+    """Sample text from the per-char mixture of an ensemble's predictive
+    distributions (beyond the reference: its confab is single-net,
+    text-confabulate.c).  Each member carries its own hidden state through
+    the generated sequence; bias sharpens each member's distribution
+    (biased_softmax, the single-net semantics) before combining, and
+    bias >= 100 takes the argmax of the combined distribution."""
+    rng = np.random.default_rng(seed)
+    hiddens = [jnp.zeros((1, n.cfg.h_size), jnp.float32) for n in nets]
+    tok = 0
+    if prefix is not None and len(prefix):
+        px = jnp.asarray(np.asarray(prefix, np.int32))[None]
+        hiddens = [engine.char_forward_seq(n.cfg, n.params, h, px)[0]
+                   for n, h in zip(nets, hiddens)]
+        tok = int(prefix[-1])
+
+    def step(tok):
+        ps = []
+        for i, n in enumerate(nets):
+            x = jax.nn.one_hot(jnp.array([tok]), n.cfg.raw_input_size,
+                               dtype=jnp.float32)
+            fwd = forward_step(n.cfg, n.params, hiddens[i], x)
+            hiddens[i] = fwd.hidden
+            logits = fwd.output[0, :n.cfg.output_size]
+            ps.append(np.asarray(biased_softmax(logits, float(bias)),
+                                 np.float64))
+        q = combine_probs(np.stack(ps)[:, None, :], ensemble_op)[0]
+        if bias >= 100:
+            return int(np.argmax(q))
+        q = q / q.sum()
+        return int(rng.choice(len(q), p=q))
+
+    out = []
+    if start_point >= 0 and char_len > 0:
+        for _ in range(100000):
+            tok = step(tok)
+            if tok == start_point:
+                break
+        out.append(tok)
+    for _ in range(char_len):
+        tok = step(tok)
+        out.append(tok)
+        if tok == stop_point:
+            break
+    return alphabet.decode(out)
+
+
 class CharModel:
     """RnnCharModel + rnn_char_epoch: the full training harness."""
 

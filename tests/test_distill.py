@@ -155,6 +155,31 @@ class TestMultiheadFactored:
         assert net._state.tokens is not None
 
 
+class TestEnsembleConfab:
+    def test_cli_samples_from_a_mixture(self, tmp_path, capsys):
+        from recur_tpu.cli import text_confabulate
+        a, n1 = make_net(1)
+        _, n2 = make_net(2)
+        f1, f2 = str(tmp_path / "a.net"), str(tmp_path / "b.net")
+        nn.save_net(n1, f1)
+        nn.save_net(n2, f2)
+        rc = text_confabulate.main(
+            ["-f", f1, "-f", f2, "-n", "40", "--rng-seed", "7"])
+        assert rc == 0
+        out1 = capsys.readouterr().out
+        assert len(out1.strip()) >= 30
+        rc = text_confabulate.main(
+            ["-f", f1, "-f", f2, "-n", "40", "--rng-seed", "7"])
+        assert rc == 0
+        assert capsys.readouterr().out == out1   # seeded → deterministic
+        # mismatched alphabets refuse
+        b, n3 = make_net(3, chars=" abcdefgh")
+        f3 = str(tmp_path / "c.net")
+        nn.save_net(n3, f3)
+        with pytest.raises(SystemExit):
+            text_confabulate.main(["-f", f1, "-f", f3, "-n", "10"])
+
+
 class TestDistillCtorGuards:
     def test_output_size_mismatch_raises(self):
         a, student = make_net(1)
