@@ -117,6 +117,24 @@ PROBES = [
           for x in ("--distill-from",
                     f"artifacts/sweep/h199-n10-ema-{t}.net.ema")])
       for a in (0.5, 1.0)],
+    # round-3d: distillation follow-ups — the student at the best
+    # single-net operating point (128 taps, noisier summed gradient), and
+    # a softened-teacher arm (temp 2 spreads the mixture's tails, the
+    # classic Hinton setting)
+    ("h199-distill-t128-a50",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99995", "--multi-tap", "128",
+      "--learn-rate", "1e-5", "--distill-alpha", "0.5"]
+     + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    ("h199-distill-a100-temp2",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99995", "--distill-alpha", "1.0",
+      "--distill-temp", "2.0"]
+     + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
 ]
 
 
