@@ -47,8 +47,23 @@ def main(argv=None) -> int:
                         "state before scoring (1 = Ventropy's carried "
                         "hidden; 0 = cold start)")
     p.add_argument("--out", default=None, help="write a JSON record here")
+    p.add_argument("--prefer-best", action="store_true",
+                   help="swap each member for its <net>.best validation-"
+                        "record snapshot when that file exists (final .ema "
+                        "saves are typically 0.02-0.05 worse than the "
+                        "run's best — the trend schedule decays past the "
+                        "optimum)")
     opt = p.parse_args(argv)
 
+    if opt.prefer_best:
+        import os
+
+        def best_of(f):
+            # text-predict saves the record snapshot as <filename>.best
+            # (EMA weights when --ema-weight is on), next to <filename>.ema
+            stem = f[:-4] if f.endswith(".ema") else f
+            return stem + ".best" if os.path.exists(stem + ".best") else f
+        opt.nets = [best_of(f) for f in opt.nets]
     nets = [nn.load_net(f) for f in opt.nets]
     try:
         alpha = ensemble_alphabet(nets, opt.nets)

@@ -3,6 +3,7 @@ subprocess (guards argument parsing, wiring, logging, save)."""
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -288,3 +289,16 @@ def test_text_cross_entropy_ensemble(tmp_path):
     rec = json.load(open(out))
     assert rec["ensemble_mixture"] > 0
     assert len(rec["per_net"]) == 2
+
+    # --prefer-best swaps members for their <net>.best record snapshots
+    # (here: a copy of the other net, so the per_net keys prove the swap)
+    shutil.copy(nets[1], nets[0] + ".best")
+    r = subprocess.run(
+        [sys.executable, "scripts/ensemble_eval.py", "--text", sample,
+         "--validate-chars", "400", "--prefer-best", "--out", out] + nets,
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.load(open(out))
+    assert nets[0] + ".best" in rec["per_net"], rec["per_net"]
+    assert nets[1] in rec["per_net"]
