@@ -128,6 +128,27 @@ PROBES = [
      + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    # round-3d: t64 validated 2.0675 (vs t128's 2.1085, t256's 2.1166) —
+    # the fewer-taps/noisier-gradient lever is still paying at 64.  Push
+    # to 32 taps (lr ~1/S), seed-spread t64 (record check + ensemble
+    # members), and give t64 the slow-EMA long-run treatment (its best
+    # was still falling at 1M gens)
+    ("h199-n10-ema-t32", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.1", "--ema-weight", "0.99995",
+                          "--multi-tap", "32", "--learn-rate", "4e-5"]),
+    *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
+                                  "--presynaptic-noise", "0.1",
+                                  "--ema-weight", "0.99995",
+                                  "--multi-tap", "64",
+                                  "--learn-rate", "2e-5",
+                                  "--rng-seed", str(s)])
+      for s in (2, 3)],
+    ("h199-n10-ema-t64-slow", ["--hidden-size", "199",
+                               "--presynaptic-noise", "0.1",
+                               "--ema-weight", "0.99999",
+                               "--multi-tap", "64",
+                               "--learn-rate", "2e-5",
+                               "--stop-after", "3000000"]),
     ("h199-distill-a100-temp2",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99995", "--distill-alpha", "1.0",
