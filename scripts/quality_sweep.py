@@ -156,6 +156,17 @@ PROBES = [
      + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    # round-3d: distill from the 6 BEST members (t64's .best record
+    # snapshot replaces s7), student at the record-holding 64-tap
+    # operating point
+    ("h199-distill-best-t64-a100",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99995", "--multi-tap", "64",
+      "--learn-rate", "2e-5", "--distill-alpha", "1.0",
+      "--distill-from", "artifacts/sweep/h199-n10-ema-t64.net.best"]
+     + [x for t in ("t128", "s3", "s9", "d60", "slow")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
 ]
 
 
