@@ -149,6 +149,11 @@ PROBES = [
                                "--multi-tap", "64",
                                "--learn-rate", "2e-5",
                                "--stop-after", "3000000"]),
+    # round-3e: the tap lever is monotone so far (256→2.1166, 128→2.1085,
+    # 64→2.0675) — probe the next halving.  LR keeps the ~1/S scaling.
+    ("h199-n10-ema-t16", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.1", "--ema-weight", "0.99995",
+                          "--multi-tap", "16", "--learn-rate", "8e-5"]),
     ("h199-distill-a100-temp2",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99995", "--distill-alpha", "1.0",
