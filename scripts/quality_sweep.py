@@ -172,6 +172,19 @@ PROBES = [
      + [x for t in ("t128", "s3", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    # round-3f: t64 is the single-net record class (2.0675) — spread its
+    # seeds (record check + ensemble members), and probe the next tap
+    # halving below 16 (lr keeps the ~1/S scaling: 5e-6 × 256/S)
+    *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
+                                  "--presynaptic-noise", "0.1",
+                                  "--ema-weight", "0.99995",
+                                  "--multi-tap", "64",
+                                  "--learn-rate", "2e-5",
+                                  "--rng-seed", str(s)])
+      for s in (4, 5)],
+    ("h199-n10-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
 ]
 
 
