@@ -185,6 +185,15 @@ PROBES = [
     ("h199-n10-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    # round-3f: distill-a50 hit 2.0716 with its best at the 1.2M-gen
+    # cutoff (still falling) — give the same arm a long slow-EMA run
+    ("h199-distill-a50-long",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--distill-alpha", "0.5",
+      "--stop-after", "4000000"]
+     + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
 ]
 
 
