@@ -106,64 +106,54 @@ PROBES = [
                                 "--multi-tap", "128",
                                 "--learn-rate", "1e-5",
                                 "--stop-after", "3000000"]),
-    # ensemble distillation: a fresh student against the 6 best/most
-    # diverse seed-ensemble members as in-graph teachers (the 12-member
-    # warm mixture scores 1.9271; a student that recovers part of that
-    # gap beats every single-net run)
-    *[(f"h199-distill-a{int(a * 100)}",
-       ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-        "--ema-weight", "0.99995", "--distill-alpha", str(a)]
-       + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
-          for x in ("--distill-from",
-                    f"artifacts/sweep/h199-n10-ema-{t}.net.ema")])
-      for a in (0.5, 1.0)],
-    # round-3d: distillation follow-ups — the student at the best
-    # single-net operating point (128 taps, noisier summed gradient), and
-    # a softened-teacher arm (temp 2 spreads the mixture's tails, the
-    # classic Hinton setting)
-    ("h199-distill-t128-a50",
-     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99995", "--multi-tap", "128",
-      "--learn-rate", "1e-5", "--distill-alpha", "0.5"]
-     + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
-        for x in ("--distill-from",
-                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
-    # round-3d: t64 validated 2.0675 (vs t128's 2.1085, t256's 2.1166) —
-    # the fewer-taps/noisier-gradient lever is still paying at 64.  Push
-    # to 32 taps (lr ~1/S), seed-spread t64 (record check + ensemble
-    # members), and give t64 the slow-EMA long-run treatment (its best
-    # was still falling at 1M gens)
+    # ---- round-3g (this session): the tunnel outage killed the previous
+    # driver before any of the round-3d/e/f arms ran; re-queued here in
+    # PRIORITY order (the done-set skips everything recorded above).
+    #
+    # The tap lever is monotone so far (256→2.1166, 128→2.1085, 64→2.0675
+    # — fewer taps sum a noisier gradient that generalises better).
+    # Probe the remaining halvings first: cheap, and they locate the
+    # lever's bottom.  LR keeps the ~1/S scaling (5e-6 × 256/S).
     ("h199-n10-ema-t32", ["--hidden-size", "199", "--presynaptic-noise",
                           "0.1", "--ema-weight", "0.99995",
                           "--multi-tap", "32", "--learn-rate", "4e-5"]),
+    ("h199-n10-ema-t16", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.1", "--ema-weight", "0.99995",
+                          "--multi-tap", "16", "--learn-rate", "8e-5"]),
+    ("h199-n10-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    # t64 is the single-net record class (2.0675): seed-spread it (record
+    # chances + ensemble members at the strongest operating point)
     *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
                                   "--presynaptic-noise", "0.1",
                                   "--ema-weight", "0.99995",
                                   "--multi-tap", "64",
                                   "--learn-rate", "2e-5",
                                   "--rng-seed", str(s)])
-      for s in (2, 3)],
+      for s in (2, 3, 4, 5)],
+    # t64's best was still falling at its 1M-gen cutoff — the slow-EMA
+    # long-run treatment (t128-slow improved its class the same way)
     ("h199-n10-ema-t64-slow", ["--hidden-size", "199",
                                "--presynaptic-noise", "0.1",
                                "--ema-weight", "0.99999",
                                "--multi-tap", "64",
                                "--learn-rate", "2e-5",
                                "--stop-after", "3000000"]),
-    # round-3e: the tap lever is monotone so far (256→2.1166, 128→2.1085,
-    # 64→2.0675) — probe the next halving.  LR keeps the ~1/S scaling.
-    ("h199-n10-ema-t16", ["--hidden-size", "199", "--presynaptic-noise",
-                          "0.1", "--ema-weight", "0.99995",
-                          "--multi-tap", "16", "--learn-rate", "8e-5"]),
-    ("h199-distill-a100-temp2",
+    # ensemble distillation: a fresh student against 6 diverse seed-
+    # ensemble members as in-graph teachers.  The short a50 arm hit
+    # 2.0716 with its best still falling at the 1.2M cutoff (result from
+    # the pre-outage session; its artifacts were lost) — the long
+    # slow-EMA version is the priority distill arm.
+    ("h199-distill-a50-long",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99995", "--distill-alpha", "1.0",
-      "--distill-temp", "2.0"]
+      "--ema-weight", "0.99999", "--distill-alpha", "0.5",
+      "--stop-after", "4000000"]
      + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
-    # round-3d: distill from the 6 BEST members (t64's .best record
-    # snapshot replaces s7), student at the record-holding 64-tap
-    # operating point
+    # distill from the 6 BEST members (t64's .best record snapshot
+    # replaces s7), student at the record-holding 64-tap operating point
     ("h199-distill-best-t64-a100",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99995", "--multi-tap", "64",
@@ -172,28 +162,31 @@ PROBES = [
      + [x for t in ("t128", "s3", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
-    # round-3f: t64 is the single-net record class (2.0675) — spread its
-    # seeds (record check + ensemble members), and probe the next tap
-    # halving below 16 (lr keeps the ~1/S scaling: 5e-6 × 256/S)
-    *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
-                                  "--presynaptic-noise", "0.1",
-                                  "--ema-weight", "0.99995",
-                                  "--multi-tap", "64",
-                                  "--learn-rate", "2e-5",
-                                  "--rng-seed", str(s)])
-      for s in (4, 5)],
-    ("h199-n10-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
-                         "0.1", "--ema-weight", "0.99995",
-                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
-    # round-3f: distill-a50 hit 2.0716 with its best at the 1.2M-gen
-    # cutoff (still falling) — give the same arm a long slow-EMA run
-    ("h199-distill-a50-long",
+    # the student at the 128-tap operating point, and a softened-teacher
+    # arm (temp 2 spreads the mixture's tails, the classic Hinton setting)
+    ("h199-distill-t128-a50",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99999", "--distill-alpha", "0.5",
-      "--stop-after", "4000000"]
+      "--ema-weight", "0.99995", "--multi-tap", "128",
+      "--learn-rate", "1e-5", "--distill-alpha", "0.5"]
      + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    ("h199-distill-a100-temp2",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99995", "--distill-alpha", "1.0",
+      "--distill-temp", "2.0"]
+     + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
+    # re-runs of the short arms whose artifacts the outage ate (lowest
+    # priority: each adds an ensemble member)
+    *[(f"h199-distill-a{int(a * 100)}",
+       ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+        "--ema-weight", "0.99995", "--distill-alpha", str(a)]
+       + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
+          for x in ("--distill-from",
+                    f"artifacts/sweep/h199-n10-ema-{t}.net.ema")])
+      for a in (0.5, 1.0)],
 ]
 
 
