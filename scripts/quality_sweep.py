@@ -187,6 +187,21 @@ PROBES = [
           for x in ("--distill-from",
                     f"artifacts/sweep/h199-n10-ema-{t}.net.ema")])
       for a in (0.5, 1.0)],
+    # ---- round-3g follow-ups: the tap lever bottoms at 64 (t32 ties at
+    # 2.0706) — explore the cells AROUND the record class instead of
+    # halving further.  Noise × taps and capacity × taps are unmeasured
+    # interactions (all noise/capacity arms so far ran at 256 taps).
+    ("h199-n15-ema-t64", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.15", "--ema-weight", "0.99995",
+                          "--multi-tap", "64", "--learn-rate", "2e-5"]),
+    ("h199-n05-ema-t64", ["--hidden-size", "199", "--presynaptic-noise",
+                          "0.05", "--ema-weight", "0.99995",
+                          "--multi-tap", "64", "--learn-rate", "2e-5"]),
+    # h=299 overfits at 256 taps (2.1646); the noisier 64-tap gradient may
+    # be the regulariser that lets extra capacity pay
+    ("h299-n15-ema-t64", ["--hidden-size", "299", "--presynaptic-noise",
+                          "0.15", "--ema-weight", "0.99995",
+                          "--multi-tap", "64", "--learn-rate", "2e-5"]),
 ]
 
 
