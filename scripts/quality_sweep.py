@@ -202,6 +202,20 @@ PROBES = [
     ("h299-n15-ema-t64", ["--hidden-size", "299", "--presynaptic-noise",
                           "0.15", "--ema-weight", "0.99995",
                           "--multi-tap", "64", "--learn-rate", "2e-5"]),
+    # distill from the strongest, most diverse teacher set available
+    # after the round-3g arms: the record-class .best snapshots (t64 +
+    # its seeds + the t32/t16 lever probes + the two best t128 seeds),
+    # student at the record operating point with the slow-EMA long-run
+    # treatment
+    ("h199-distill-strong-t64",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "64",
+      "--learn-rate", "2e-5", "--distill-alpha", "1.0",
+      "--stop-after", "3000000"]
+     + [x for t in ("t64", "t64-s2", "t64-s3", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
 ]
 
 
