@@ -123,6 +123,30 @@ PROBES = [
     ("h199-n10-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    # ---- round-3h: t8 set a NEW single-net record (2.0562, still falling
+    # at its 1.2M cutoff) and the lever is non-monotone (64 beats 32/16
+    # but 8 beats all).  Chase it: the slow-EMA long-run treatment, seeds
+    # (is 2.0562 the class mean or a lucky draw?), and the remaining
+    # halvings (t4/t2; LR keeps the ~1/S scaling, EMA damps the noise).
+    ("h199-n10-ema-t8-slow", ["--hidden-size", "199",
+                              "--presynaptic-noise", "0.1",
+                              "--ema-weight", "0.99999",
+                              "--multi-tap", "8",
+                              "--learn-rate", "1.6e-4",
+                              "--stop-after", "3000000"]),
+    *[(f"h199-n10-ema-t8-s{s}", ["--hidden-size", "199",
+                                 "--presynaptic-noise", "0.1",
+                                 "--ema-weight", "0.99995",
+                                 "--multi-tap", "8",
+                                 "--learn-rate", "1.6e-4",
+                                 "--rng-seed", str(s)])
+      for s in (2, 3)],
+    ("h199-n10-ema-t4", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--multi-tap", "4", "--learn-rate", "3.2e-4"]),
+    ("h199-n10-ema-t2", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--multi-tap", "2", "--learn-rate", "6.4e-4"]),
     # t64 is the single-net record class (2.0675): seed-spread it (record
     # chances + ensemble members at the strongest operating point)
     *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
