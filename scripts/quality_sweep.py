@@ -147,6 +147,15 @@ PROBES = [
     ("h199-n10-ema-t2", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--multi-tap", "2", "--learn-rate", "6.4e-4"]),
+    # interactions at the t8 record class: noise and BPTT depth
+    ("h199-n15-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.15", "--ema-weight", "0.99995",
+                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    ("h199-n10-ema-t8-d60", ["--hidden-size", "199",
+                             "--presynaptic-noise", "0.1",
+                             "--ema-weight", "0.99995",
+                             "--multi-tap", "8", "--learn-rate", "1.6e-4",
+                             "--depth", "60"]),
     # t64 is the single-net record class (2.0675): seed-spread it (record
     # chances + ensemble members at the strongest operating point)
     *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
