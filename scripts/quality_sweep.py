@@ -156,6 +156,46 @@ PROBES = [
                              "--ema-weight", "0.99995",
                              "--multi-tap", "8", "--learn-rate", "1.6e-4",
                              "--depth", "60"]),
+    # ---- round-3i: t8-slow set the single-net record (2.0423 at 1.88M
+    # gens, slow EMA 0.99999 over 3M).  Chase THAT class directly:
+    # seed-spread it (record chance + top-tier ensemble members), probe
+    # the unmeasured interactions at 8 taps (lower noise — the 8-tap
+    # gradient is itself noisy, maybe 0.1 presynaptic is now too much;
+    # capacity — h=299 overfit at 256 taps but the noisier gradient may
+    # regularise it), and distill from the 7 strongest .best snapshots
+    # into a student at the record operating point.
+    *[(f"h199-n10-ema-t8-slow-s{s}", ["--hidden-size", "199",
+                                      "--presynaptic-noise", "0.1",
+                                      "--ema-weight", "0.99999",
+                                      "--multi-tap", "8",
+                                      "--learn-rate", "1.6e-4",
+                                      "--stop-after", "3000000",
+                                      "--rng-seed", str(s)])
+      for s in (2, 3)],
+    ("h199-n05-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
+                         "0.05", "--ema-weight", "0.99995",
+                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    ("h299-n10-ema-t8", ["--hidden-size", "299", "--presynaptic-noise",
+                         "0.1", "--ema-weight", "0.99995",
+                         "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
+    ("h199-distill-strong-t8",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
+      "--stop-after", "3000000"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    ("h199-distill-strong-t8-a50",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     # t64 is the single-net record class (2.0675): seed-spread it (record
     # chances + ensemble members at the strongest operating point)
     *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
