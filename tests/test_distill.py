@@ -110,6 +110,40 @@ class TestDistillChunk:
         smodel.epoch(text, quietness=3)
         assert not np.allclose(np.asarray(smodel._teacher_hiddens[0]), z)
 
+    def test_temperature_softens_the_teacher_mixture(self):
+        # q_mix = mean_k softmax(logits_k / temp) (char_distill_step): at
+        # temp→inf the soft target is uniform, so an alpha=1 student is
+        # pulled toward a flat distribution; at temp=1 it is pulled toward
+        # the teacher, which knows the text.  Both must differ from each
+        # other after one chunk (temp actually plumbs through), and after
+        # training the temp=1 student must sit well below the high-temp one.
+        from recur_tpu.nn import Activation
+        a, teacher = make_net(3, activation=Activation.RESQRT)
+        text = np.asarray(a.encode(b"abcdefg " * 60), np.int32)
+        tmodel = CharModel(teacher, a, n_streams=2, save_net=False)
+        tmodel.learn_rate = 0.3
+        for _ in range(20):
+            tmodel.epoch(text, quietness=3)
+        teacher.params = tmodel.params
+
+        results = {}
+        for temp in (1.0, 1e4):
+            _, student = make_net(4, activation=Activation.RESQRT)
+            smodel = CharModel(student, a, n_streams=2, save_net=False,
+                               distill_teachers=[teacher],
+                               distill_alpha=1.0, distill_temp=temp)
+            smodel.learn_rate = 0.1
+            for _ in range(15):
+                smodel.epoch(text, quietness=3)
+            results[temp] = (np.asarray(smodel.params.ih),
+                             smodel.cross_entropy(text))
+        assert not np.allclose(results[1.0][0], results[1e4][0])
+        # near-uniform targets keep the high-temp student near
+        # log2(len(alphabet)); the temp=1 student approaches the teacher
+        uniform = np.log2(len(a))
+        assert results[1.0][1] < results[1e4][1] - 0.4, results
+        assert results[1e4][1] > uniform - 0.8, results
+
 
 class TestMultiheadFactored:
     def test_factored_matches_buffered(self):
