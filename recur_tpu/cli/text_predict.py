@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
            "mixture (default 1.0)")
     a("--distill-temp", type=float, default=1.0,
       help="teacher softmax temperature (default 1.0)")
+    a("--snapshot-every", type=int, default=0,
+      help="save the validation-scored weights as <net>.g<GEN> every N "
+           "generations (decorrelated ensemble members from one run; "
+           "beyond-reference extension)")
     a("--bptt-impl", default="buffered",
       choices=["buffered", "twopass", "factored"],
       help="BPTT gradient formulation: buffered einsum, twopass (trades "
@@ -262,6 +266,7 @@ def main(argv=None) -> int:
                       bptt_impl=opt.bptt_impl, unroll=opt.unroll,
                       walk_unroll=opt.walk_unroll,
                       ema_weight=opt.ema_weight,
+                      snapshot_every=opt.snapshot_every,
                       periodic_pgm_dump=opt.periodic_pgm_dump,
                       temporal_pgm_dump=opt.temporal_pgm_dump,
                       basename=opt.basename)

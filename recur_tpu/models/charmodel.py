@@ -282,7 +282,8 @@ class CharModel:
                  temporal_pgm_dump: bool = False, basename: str = "net",
                  ema_weight: float = 0.0,
                  distill_teachers: Optional[list] = None,
-                 distill_alpha: float = 1.0, distill_temp: float = 1.0):
+                 distill_alpha: float = 1.0, distill_temp: float = 1.0,
+                 snapshot_every: int = 0):
         self.net = net
         self.alphabet = alphabet
         self.cfg = net.cfg
@@ -350,6 +351,17 @@ class CharModel:
         # endurance legs) keeps the historical record instead of
         # overwriting it with its own first (worse) validation.
         self._best_vent = float("inf")
+        # periodic snapshots (<filename>.g<N>k): independently-timed saves
+        # of the validation-scored weights every `snapshot_every`
+        # generations.  One long run then yields several decorrelated
+        # ensemble members for free — measured: a run's .best and final
+        # .ema twins bought the 29-member mixture 0.005 bits over
+        # best-only (PERF.md, ensemble_best35.json).
+        self.snapshot_every = int(snapshot_every)
+        self._next_snapshot_gen = (
+            self.snapshot_every
+            * (net.generation // self.snapshot_every + 1)
+            if self.snapshot_every else 0)
         if net.generation > 0 and filename:
             try:
                 import json as _json
@@ -628,7 +640,15 @@ class CharModel:
         if (ventropy and self.save_net and self.filename
                 and vent < self._best_vent):
             self._best_vent = vent
-            self._save_snapshot(v_params, self.filename + ".best")
+            self._save_snapshot(v_params, self.filename + ".best", vent)
+        if (ventropy and self.save_net and self.filename
+                and self.snapshot_every
+                and self.generation >= self._next_snapshot_gen):
+            self._save_snapshot(
+                v_params, f"{self.filename}.g{self._next_snapshot_gen}",
+                vent)
+            while self._next_snapshot_gen <= self.generation:
+                self._next_snapshot_gen += self.snapshot_every
         if self.save_net and self.filename:
             self.save(self.filename, backup=True)
         self.schedule.eval(self, vent, quietness < 2)
@@ -648,7 +668,7 @@ class CharModel:
         if self.save_net and self.filename:
             self.save(self.filename, backup=True)
 
-    def _save_snapshot(self, params, filename: str):
+    def _save_snapshot(self, params, filename: str, v_entropy: float):
         """Write `params` (the validation-scored weights) as a .net file
         without disturbing the live net, plus a .json sidecar recording the
         score (read back on --reload so resumed runs keep the record)."""
@@ -662,7 +682,7 @@ class CharModel:
         self.net.params, self.net.generation = raw, gen
         import json as _json
         with open(filename + ".json", "w") as f:
-            _json.dump({"v_entropy": self._best_vent,
+            _json.dump({"v_entropy": float(v_entropy),
                         "generation": self.generation}, f)
 
     def save(self, filename: str, backup: bool = False):

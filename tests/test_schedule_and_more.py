@@ -231,6 +231,47 @@ class TestBestSnapshot:
         model.epoch(text, quietness=3)
         assert not (tmp_path / "nosnap.net.best").exists()
 
+    def test_snapshot_every_saves_generational_members(self, tmp_path):
+        # --snapshot-every N: the validation-scored weights land as
+        # <net>.g<GEN> at each crossed threshold, each loadable with a
+        # scored sidecar (periodic decorrelated ensemble members)
+        import json
+        fn = str(tmp_path / "gsnap.net")
+        a, model = make_model(report_interval=128, save_net=True,
+                              snapshot_every=600)
+        model.filename = fn
+        model.learn_rate = 0.1
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 8, 600).astype(np.int32)
+        v = Ventropy(model.cfg, text[:120])
+        for _ in range(3):
+            model.epoch(text, ventropy=v, quietness=3)
+        nets = sorted((p for p in tmp_path.glob("gsnap.net.g*")
+                       if not p.name.endswith(".json")),
+                      key=lambda p: int(p.name.rsplit("g", 1)[1]))
+        assert len(nets) >= 2, list(tmp_path.iterdir())
+        gens = []
+        for p in nets:
+            loaded = nn.load_net(str(p))
+            assert loaded.cfg.h_size == model.cfg.h_size
+            side = json.load(open(str(p) + ".json"))
+            assert np.isfinite(side["v_entropy"])
+            gens.append(side["generation"])
+        assert gens == sorted(gens)
+        # thresholds are unique: no snapshot file was overwritten
+        names = [int(p.name.rsplit("g", 1)[1]) for p in nets]
+        assert len(names) == len(set(names))
+
+    def test_snapshot_every_resume_skips_past_thresholds(self, tmp_path):
+        # a resumed run (net.generation > 0) must schedule its next
+        # snapshot AFTER the current generation, not re-save old ones
+        a, model = make_model(save_net=True, snapshot_every=100)
+        model.net.generation = 250
+        from recur_tpu.models.charmodel import CharModel
+        m2 = CharModel(model.net, a, n_streams=2, save_net=True,
+                       snapshot_every=100)
+        assert m2._next_snapshot_gen == 300
+
 
 class TestReportImageDumps:
     def test_periodic_pgm_dump_writes_images(self, tmp_path, monkeypatch):
