@@ -66,7 +66,8 @@ PROBES = [
     # slower Polyak horizon (timescale 100k gens) over a longer run
     ("h199-n10-ema-slow", ["--hidden-size", "199", "--presynaptic-noise",
                            "0.1", "--ema-weight", "0.99999",
-                           "--stop-after", "3000000"]),
+                           "--stop-after", "3000000",
+      "--snapshot-every", "500000"]),
     # noise between the 0.1 and 0.2 arms
     ("h199-n15-ema", ["--hidden-size", "199", "--presynaptic-noise",
                       "0.15", "--ema-weight", "0.99995"]),
@@ -105,7 +106,8 @@ PROBES = [
                                 "--ema-weight", "0.99999",
                                 "--multi-tap", "128",
                                 "--learn-rate", "1e-5",
-                                "--stop-after", "3000000"]),
+                                "--stop-after", "3000000",
+      "--snapshot-every", "500000"]),
     # ---- round-3g (this session): the tunnel outage killed the previous
     # driver before any of the round-3d/e/f arms ran; re-queued here in
     # PRIORITY order (the done-set skips everything recorded above).
@@ -133,7 +135,8 @@ PROBES = [
                               "--ema-weight", "0.99999",
                               "--multi-tap", "8",
                               "--learn-rate", "1.6e-4",
-                              "--stop-after", "3000000"]),
+                              "--stop-after", "3000000",
+      "--snapshot-every", "500000"]),
     *[(f"h199-n10-ema-t8-s{s}", ["--hidden-size", "199",
                                  "--presynaptic-noise", "0.1",
                                  "--ema-weight", "0.99995",
@@ -182,7 +185,8 @@ PROBES = [
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
       "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
-      "--stop-after", "3000000"]
+      "--stop-after", "3000000",
+      "--snapshot-every", "500000"]
      + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
                     "t128-s3", "t128-s4")
         for x in ("--distill-from",
@@ -191,7 +195,8 @@ PROBES = [
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
       "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
-      "--stop-after", "3000000"]
+      "--stop-after", "3000000",
+      "--snapshot-every", "500000"]
      + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
                     "t128-s3", "t128-s4")
         for x in ("--distill-from",
@@ -212,7 +217,8 @@ PROBES = [
                                "--ema-weight", "0.99999",
                                "--multi-tap", "64",
                                "--learn-rate", "2e-5",
-                               "--stop-after", "3000000"]),
+                               "--stop-after", "3000000",
+      "--snapshot-every", "500000"]),
     # ensemble distillation: a fresh student against 6 diverse seed-
     # ensemble members as in-graph teachers.  The short a50 arm hit
     # 2.0716 with its best still falling at the 1.2M cutoff (result from
@@ -221,7 +227,8 @@ PROBES = [
     ("h199-distill-a50-long",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--distill-alpha", "0.5",
-      "--stop-after", "4000000"]
+      "--stop-after", "4000000",
+      "--snapshot-every", "500000"]
      + [x for t in ("t128", "s3", "s7", "s9", "d60", "slow")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.ema")]),
@@ -284,7 +291,8 @@ PROBES = [
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "64",
       "--learn-rate", "2e-5", "--distill-alpha", "1.0",
-      "--stop-after", "3000000"]
+      "--stop-after", "3000000",
+      "--snapshot-every", "500000"]
      + [x for t in ("t64", "t64-s2", "t64-s3", "t32", "t16",
                     "t128-s3", "t128-s4")
         for x in ("--distill-from",
