@@ -150,6 +150,31 @@ PROBES = [
     ("h199-n10-ema-t2", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--multi-tap", "2", "--learn-rate", "6.4e-4"]),
+    # PRIORITY (round-3i): distill from the 7 strongest .best snapshots
+    # into a student at the record operating point — the teacher mixture
+    # itself scores ~1.90, so a student that tracks it is the best shot
+    # at a single net under 2.0.  Early results let a follow-up arm run
+    # within the round.
+    ("h199-distill-strong-t8",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
+      "--stop-after", "3000000",
+      "--snapshot-every", "500000"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    ("h199-distill-strong-t8-a50",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000",
+      "--snapshot-every", "500000"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     # interactions at the t8 record class: noise and BPTT depth
     ("h199-n15-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.15", "--ema-weight", "0.99995",
@@ -173,6 +198,7 @@ PROBES = [
                                       "--multi-tap", "8",
                                       "--learn-rate", "1.6e-4",
                                       "--stop-after", "3000000",
+                                      "--snapshot-every", "500000",
                                       "--rng-seed", str(s)])
       for s in (2, 3)],
     ("h199-n05-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
@@ -181,26 +207,6 @@ PROBES = [
     ("h299-n10-ema-t8", ["--hidden-size", "299", "--presynaptic-noise",
                          "0.1", "--ema-weight", "0.99995",
                          "--multi-tap", "8", "--learn-rate", "1.6e-4"]),
-    ("h199-distill-strong-t8",
-     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99999", "--multi-tap", "8",
-      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
-      "--stop-after", "3000000",
-      "--snapshot-every", "500000"]
-     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
-                    "t128-s3", "t128-s4")
-        for x in ("--distill-from",
-                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
-    ("h199-distill-strong-t8-a50",
-     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99999", "--multi-tap", "8",
-      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
-      "--stop-after", "3000000",
-      "--snapshot-every", "500000"]
-     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
-                    "t128-s3", "t128-s4")
-        for x in ("--distill-from",
-                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     # t64 is the single-net record class (2.0675): seed-spread it (record
     # chances + ensemble members at the strongest operating point)
     *[(f"h199-n10-ema-t64-s{s}", ["--hidden-size", "199",
