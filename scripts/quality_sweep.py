@@ -175,6 +175,35 @@ PROBES = [
                     "t128-s3", "t128-s4")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    # ---- round-3j: the alpha=1.0 strong-teacher distill set the record
+    # (2.0356) with a MONOTONE descent ending at its 3M cutoff — continue
+    # the same run (reload; the later --filename overrides the driver's
+    # tag-derived one).  EMA restarts from the reloaded raw weights and
+    # re-equilibrates in ~300k gens; .best is guarded by its sidecar.
+    ("h199-distill-strong-t8-cont",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h199-distill-strong-t8.net"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    # generation-2 self-distillation: the gen-1 student (now the
+    # strongest single net) joins the teacher set with the best 8-tap
+    # seeds — the classic born-again ratchet
+    ("h199-distill-gen2",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--distill-from", "artifacts/sweep/h199-distill-strong-t8.net.best"]
+     + [x for t in ("t8-slow", "t8", "t8-s2", "t8-s3", "t64",
+                    "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     # interactions at the t8 record class: noise and BPTT depth
     ("h199-n15-ema-t8", ["--hidden-size", "199", "--presynaptic-noise",
                          "0.15", "--ema-weight", "0.99995",
