@@ -180,6 +180,19 @@ PROBES = [
     # the same run (reload; the later --filename overrides the driver's
     # tag-derived one).  EMA restarts from the reloaded raw weights and
     # re-equilibrates in ~300k gens; .best is guarded by its sidecar.
+    # a50 descends FASTER (2.0298 at 1.4M vs alpha-1.0's 2.0599 at 1.6M —
+    # the hard-label half keeps the gradient grounded): continue IT first
+    ("h199-distill-strong-t8-a50-cont",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h199-distill-strong-t8-a50.net"]
+     + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                    "t128-s3", "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     ("h199-distill-strong-t8-cont",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
