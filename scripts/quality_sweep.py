@@ -193,6 +193,40 @@ PROBES = [
                     "t128-s3", "t128-s4")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    # ---- round-3k: a50 BROKE THE 2.0 WALL — 1.9894 at 2.95M gens,
+    # still falling at the cutoff (the -cont arm above extends it).
+    # Seed-spread the record recipe: each ~35-min run is another
+    # sub-2.0 candidate AND a decorrelated ensemble member (different
+    # init + different data order under the same teachers).
+    *[(f"h199-distill-strong-t8-a50-s{s}",
+       ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+        "--ema-weight", "0.99999", "--multi-tap", "8",
+        "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+        "--stop-after", "3000000", "--snapshot-every", "500000",
+        "--rng-seed", str(s)]
+       + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
+                      "t128-s3", "t128-s4")
+          for x in ("--distill-from",
+                    f"artifacts/sweep/h199-n10-ema-{t}.net.best")])
+      for s in (2, 3)],
+    # generation-2 self-distillation: the gen-1 a50 student (now the
+    # strongest single net, 1.9894) joins the teacher set with the best
+    # 8-tap seeds — the classic born-again ratchet, at the winning
+    # alpha=0.5 blend
+    ("h199-distill-gen2",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--distill-from",
+      "artifacts/sweep/h199-distill-strong-t8-a50.net.best",
+      "--distill-from", "artifacts/sweep/h199-distill-strong-t8.net.best"]
+     + [x for t in ("t8-slow", "t8", "t8-s2", "t8-s3", "t64",
+                    "t128-s4")
+        for x in ("--distill-from",
+                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
+    # the alpha=1.0 continuation, demoted behind the a50-class arms
+    # (a50 descends faster and lands lower at every checkpoint)
     ("h199-distill-strong-t8-cont",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
@@ -202,19 +236,6 @@ PROBES = [
       "--filename", "artifacts/sweep/h199-distill-strong-t8.net"]
      + [x for t in ("t8-slow", "t8", "t64", "t32", "t16",
                     "t128-s3", "t128-s4")
-        for x in ("--distill-from",
-                  f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
-    # generation-2 self-distillation: the gen-1 student (now the
-    # strongest single net) joins the teacher set with the best 8-tap
-    # seeds — the classic born-again ratchet
-    ("h199-distill-gen2",
-     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99999", "--multi-tap", "8",
-      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
-      "--stop-after", "3000000", "--snapshot-every", "500000",
-      "--distill-from", "artifacts/sweep/h199-distill-strong-t8.net.best"]
-     + [x for t in ("t8-slow", "t8", "t8-s2", "t8-s3", "t64",
-                    "t128-s4")
         for x in ("--distill-from",
                   f"artifacts/sweep/h199-n10-ema-{t}.net.best")]),
     # interactions at the t8 record class: noise and BPTT depth
