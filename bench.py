@@ -14,6 +14,7 @@ this host, i.e. the "SIMD C core" of BASELINE.md measured on the same box.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import glob
 import json
 import os
 import subprocess
@@ -21,6 +22,40 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def quality_records():
+    """Best committed erewhon validation scores (bits/char, lower is
+    better) from the sweep artifacts — static facts, no device work.
+    The reference binary's own 40M-generation control bottomed at
+    2.3185 (artifacts/ref_longrun; its README's "≈2" is training
+    entropy, README.md:105-107)."""
+    best_single, best_single_src = None, None
+    for f in glob.glob(os.path.join(REPO, "artifacts/sweep/*.best.json")):
+        try:
+            v = json.load(open(f)).get("v_entropy")
+        except Exception:
+            continue
+        if v is not None and (best_single is None or v < best_single):
+            best_single, best_single_src = v, os.path.basename(f)
+    best_mix, best_mix_src = None, None
+    for f in glob.glob(os.path.join(REPO, "artifacts/sweep/ensemble*.json")):
+        try:
+            v = json.load(open(f)).get("ensemble_mixture")
+        except Exception:
+            continue
+        if v is not None and (best_mix is None or v < best_mix):
+            best_mix, best_mix_src = v, os.path.basename(f)
+    if best_single is None and best_mix is None:
+        return None
+    return {
+        "best_single_net_v_entropy": best_single,
+        "best_single_net_artifact": best_single_src,
+        "best_ensemble_v_entropy": best_mix,
+        "best_ensemble_artifact": best_mix_src,
+        "reference_binary_best_v_entropy": 2.3185,
+        "unit": "bits/char on erewhon validation (10k chars, warm lap)",
+    }
 sys.path.insert(0, REPO)
 
 C_BASELINE_FALLBACK = 26641.0  # chars/s measured on this image's CPU
@@ -292,6 +327,7 @@ def main():
             "classify_vs_baseline": round(classify / classify_base, 1),
             "caravel_train_chars_per_sec": round(caravel, 0),
             "caravel_configs": caravel_configs,
+            "quality": quality_records(),
             "classify_note": "compute-only (device-resident PCM frames), "
                 "pipelined steady-state: window+FFT+40 log bins+h=199 fwd+"
                 "depth-30 BPTT+apply per window, 1000 channels; C baseline "

@@ -44,10 +44,16 @@ def main(argv=None) -> int:
     p.add_argument("--warm-laps", type=int, default=1)
     p.add_argument("--max-solo", type=float, default=2.2,
                    help="drop members scoring worse than this alone")
+    p.add_argument("--exclude", action="append", default=[],
+                   help="basename substring(s) to leave out — e.g. "
+                        "'distill' keeps students out of a mixture that "
+                        "already contains their teachers (member "
+                        "diversity beats member strength, PERF.md)")
     p.add_argument("--out", default=None)
     opt = p.parse_args(argv)
 
-    paths = collect(opt.workdir)
+    paths = [f for f in collect(opt.workdir)
+             if not any(s in os.path.basename(f) for s in opt.exclude)]
     if not paths:
         p.error(f"no net snapshots under {opt.workdir}")
     nets, kept_paths = [], []
