@@ -302,3 +302,40 @@ def test_text_cross_entropy_ensemble(tmp_path):
     rec = json.load(open(out))
     assert nets[0] + ".best" in rec["per_net"], rec["per_net"]
     assert nets[1] in rec["per_net"]
+
+
+@pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+def test_ensemble_harvest_collects_and_excludes(tmp_path):
+    """ensemble_harvest globs .best/.ema/.g<GEN> snapshots from a sweep
+    dir, honours --exclude (distilled students stay out of mixtures that
+    already contain their teachers), and a mixture of identical copies
+    scores exactly the solo net."""
+    net = str(tmp_path / "seed.net")
+    r = run_cli("recur_tpu.cli.text_predict",
+                ["--stop-after", "300", "--multi-tap", "4",
+                 "--learn-rate", "1e-4", "--report-interval", "300",
+                 "--filename", net, "-q"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    work = tmp_path / "sweep"
+    work.mkdir()
+    for member in ("a.net.best", "b.net.ema", "b.net.g500000",
+                   "h-distill-x.net.best"):
+        shutil.copy(net, work / member)
+    sample = str(tmp_path / "s.txt")
+    with open(EREWHON, "rb") as f, open(sample, "wb") as g:
+        g.write(f.read(1500))
+    out = str(tmp_path / "harvest.json")
+    r = subprocess.run(
+        [sys.executable, "scripts/ensemble_harvest.py", "--text", sample,
+         "--workdir", str(work), "--validate-chars", "400",
+         "--max-solo", "99", "--exclude", "distill", "--out", out],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.load(open(out))
+    names = sorted(os.path.basename(m) for m in rec["members"])
+    assert names == ["a.net.best", "b.net.ema", "b.net.g500000"], names
+    # identical members: the mixture IS the solo score
+    solos = set(round(v, 6) for v in rec["per_net"].values())
+    assert len(solos) == 1
+    assert abs(rec["ensemble_mixture"] - next(iter(solos))) < 1e-4
