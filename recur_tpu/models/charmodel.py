@@ -362,7 +362,12 @@ class CharModel:
             self.snapshot_every
             * (net.generation // self.snapshot_every + 1)
             if self.snapshot_every else 0)
-        if net.generation > 0 and filename:
+        # Read the sidecar UNCONDITIONALLY (not just on resumed nets): a
+        # fresh gen-0 run pointed at a filename whose .best records a
+        # better historical score must not clobber it — exactly what
+        # happened when a crashed continuation restarted from scratch and
+        # overwrote a 1.9894 .best with its own 2.04 descent (round 3d).
+        if filename:
             try:
                 import json as _json
                 with open(filename + ".best.json") as f:

@@ -138,7 +138,18 @@ class Writer:
             with os.fdopen(fd, "wb") as f:
                 f.write(self.tobytes())
             if backup and os.path.exists(path):
-                os.replace(path, path + "~")
+                # hard-link (not rename) so `path` never stops existing:
+                # a kill between a rename-away and the rename-in would
+                # otherwise lose the net, and a watchdog-retried run then
+                # restarts from generation 0 (observed round 3d).
+                try:
+                    os.unlink(path + "~")
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.link(path, path + "~")
+                except OSError:
+                    pass  # cross-device/no-hardlink fs: skip the backup
             os.replace(tmp, path)
         except BaseException:
             if os.path.exists(tmp):

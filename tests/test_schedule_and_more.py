@@ -217,10 +217,20 @@ class TestBestSnapshot:
                        filename=fn)
         assert m2._best_vent == pytest.approx(first_best)
 
-        # a FRESH run (generation 0) starts from scratch
-        a3, m3 = make_model(save_net=True)
-        m3.filename = fn
-        assert m3._best_vent == float("inf")
+        # a FRESH run (generation 0) pointed at the same filename must
+        # ALSO honour the sidecar: a crashed continuation that restarts
+        # from scratch (reload target lost) would otherwise clobber the
+        # historically better .best with its own early descent (observed
+        # round 3d — a 1.9894 record overwritten by a 2.04 restart).
+        fresh = nn.new_net(len(a), 17, len(a), rng_seed=5, depth=6,
+                           learn_rate=0.01, momentum=0.9)
+        winit.randomise_weights(fresh)
+        assert fresh.generation == 0
+        m3 = CharModel(fresh, a, n_streams=2, save_net=True, filename=fn)
+        assert m3._best_vent == pytest.approx(first_best)
+        # without a filename there is no sidecar to honour
+        a4, m4 = make_model(save_net=True)
+        assert m4._best_vent == float("inf")
 
     def test_no_snapshot_without_validation(self, tmp_path):
         fn = str(tmp_path / "nosnap.net")
