@@ -450,6 +450,17 @@ def main(argv=None) -> int:
                "--stop-after", str(opt.generations),
                "--filename", os.path.join(opt.workdir, f"{tag}.net"),
                "--log-file", log, "--quiet"] + extra + opt.extra
+        # a --reload arm whose target was lost (plain .net is gitignored,
+        # so a fresh session only has the committed .best/.ema snapshots)
+        # continues from the .best record instead of restarting at gen 0
+        if "--reload" in extra and "--filename" in extra:
+            target = extra[extra.index("--filename") + 1]
+            tpath = os.path.join(REPO, target)
+            if not os.path.exists(tpath) and os.path.exists(tpath + ".best"):
+                import shutil
+                shutil.copyfile(tpath + ".best", tpath)
+                print(f"sweep probe {tag}: reload target missing; "
+                      f"seeded from {target}.best", flush=True)
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
         # stall watchdog: a wedged tunnel hangs a fresh process forever
