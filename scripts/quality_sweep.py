@@ -400,6 +400,23 @@ def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
     return False
 
 
+def seed_reload_target(extra, repo=REPO):
+    """If a --reload arm's target net is missing but its .best snapshot
+    exists, copy the snapshot in so the leg continues from the committed
+    record instead of restarting at generation 0.  (Plain .net files are
+    gitignored; a fresh session only has the .best/.ema snapshots.)
+    Returns the seed path used, or None."""
+    if "--reload" not in extra or "--filename" not in extra:
+        return None
+    target = extra[extra.index("--filename") + 1]
+    tpath = os.path.join(repo, target)
+    if os.path.exists(tpath) or not os.path.exists(tpath + ".best"):
+        return None
+    import shutil
+    shutil.copyfile(tpath + ".best", tpath)
+    return target + ".best"
+
+
 def best_v_entropy(log_path: str):
     best, best_gen, gen = None, 0, 0
     try:
@@ -450,17 +467,10 @@ def main(argv=None) -> int:
                "--stop-after", str(opt.generations),
                "--filename", os.path.join(opt.workdir, f"{tag}.net"),
                "--log-file", log, "--quiet"] + extra + opt.extra
-        # a --reload arm whose target was lost (plain .net is gitignored,
-        # so a fresh session only has the committed .best/.ema snapshots)
-        # continues from the .best record instead of restarting at gen 0
-        if "--reload" in extra and "--filename" in extra:
-            target = extra[extra.index("--filename") + 1]
-            tpath = os.path.join(REPO, target)
-            if not os.path.exists(tpath) and os.path.exists(tpath + ".best"):
-                import shutil
-                shutil.copyfile(tpath + ".best", tpath)
-                print(f"sweep probe {tag}: reload target missing; "
-                      f"seeded from {target}.best", flush=True)
+        seeded = seed_reload_target(extra)
+        if seeded:
+            print(f"sweep probe {tag}: reload target missing; "
+                  f"seeded from {seeded}", flush=True)
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
         # stall watchdog: a wedged tunnel hangs a fresh process forever

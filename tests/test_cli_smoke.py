@@ -339,3 +339,26 @@ def test_ensemble_harvest_collects_and_excludes(tmp_path):
     solos = set(round(v, 6) for v in rec["per_net"].values())
     assert len(solos) == 1
     assert abs(rec["ensemble_mixture"] - next(iter(solos))) < 1e-4
+
+
+def test_sweep_driver_seeds_lost_reload_target(tmp_path):
+    """A --reload arm whose .net target is gone (gitignored; only the
+    .best snapshot is committed) is seeded from the .best so the leg
+    continues from the record instead of restarting at generation 0."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from quality_sweep import seed_reload_target
+    finally:
+        sys.path.pop(0)
+    target = tmp_path / "arm.net"
+    (tmp_path / "arm.net.best").write_bytes(b"weights")
+    extra = ["--reload", "--filename", "arm.net"]
+    assert seed_reload_target(extra, repo=str(tmp_path)) == "arm.net.best"
+    assert target.read_bytes() == b"weights"
+    # present target: untouched
+    target.write_bytes(b"newer")
+    assert seed_reload_target(extra, repo=str(tmp_path)) is None
+    assert target.read_bytes() == b"newer"
+    # non-reload arms never seed
+    assert seed_reload_target(["--filename", "arm.net"],
+                              repo=str(tmp_path)) is None
