@@ -372,6 +372,14 @@ class CharModel:
                 import json as _json
                 with open(filename + ".best.json") as f:
                     self._best_vent = float(_json.load(f)["v_entropy"])
+                if net.generation == 0:
+                    # deliberate fresh runs reusing an old filename would
+                    # otherwise silently never write .best until they beat
+                    # the stale record — say so (delete <filename>.best* or
+                    # pick a new filename to reset the record)
+                    print(f"note: fresh net inherits .best record "
+                          f"{self._best_vent:.4f} from {filename}.best.json;"
+                          f" .best is only written below it", flush=True)
             except (OSError, ValueError, KeyError):
                 pass
         # ensemble distillation (beyond-reference, engine.char_distill_step):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import io
 import os
+import shutil
 import struct
 import tempfile
 
@@ -141,15 +142,21 @@ class Writer:
                 # hard-link (not rename) so `path` never stops existing:
                 # a kill between a rename-away and the rename-in would
                 # otherwise lose the net, and a watchdog-retried run then
-                # restarts from generation 0 (observed round 3d).
+                # restarts from generation 0 (observed round 3d).  Link to
+                # a temp name and os.replace over `~` so a failed link
+                # never destroys the previous backup.
                 try:
-                    os.unlink(path + "~")
-                except FileNotFoundError:
-                    pass
-                try:
-                    os.link(path, path + "~")
+                    os.link(path, tmp + "~")
+                    os.replace(tmp + "~", path + "~")
                 except OSError:
-                    pass  # cross-device/no-hardlink fs: skip the backup
+                    try:  # no-hardlink fs: copy (slower but a backup exists)
+                        shutil.copyfile(path, tmp + "~")
+                        os.replace(tmp + "~", path + "~")
+                    except OSError:
+                        pass
+                finally:
+                    if os.path.exists(tmp + "~"):
+                        os.unlink(tmp + "~")
             os.replace(tmp, path)
         except BaseException:
             if os.path.exists(tmp):

@@ -400,15 +400,23 @@ def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
     return False
 
 
-def seed_reload_target(extra, repo=REPO):
+def seed_reload_target(cmd, repo=REPO):
     """If a --reload arm's target net is missing but its .best snapshot
     exists, copy the snapshot in so the leg continues from the committed
     record instead of restarting at generation 0.  (Plain .net files are
     gitignored; a fresh session only has the .best/.ema snapshots.)
-    Returns the seed path used, or None."""
-    if "--reload" not in extra or "--filename" not in extra:
+
+    Scans the FULLY ASSEMBLED command (driver defaults + probe extras +
+    opt.extra) and honours argparse's last-wins rule for repeated
+    --filename, so arms that rely on the driver-default filename or get
+    --reload via opt.extra are seeded too.  Returns the seed path used,
+    or None."""
+    if "--reload" not in cmd:
         return None
-    target = extra[extra.index("--filename") + 1]
+    idxs = [i for i, a in enumerate(cmd) if a == "--filename"]
+    if not idxs or idxs[-1] + 1 >= len(cmd):
+        return None
+    target = cmd[idxs[-1] + 1]
     tpath = os.path.join(repo, target)
     if os.path.exists(tpath) or not os.path.exists(tpath + ".best"):
         return None
@@ -467,7 +475,7 @@ def main(argv=None) -> int:
                "--stop-after", str(opt.generations),
                "--filename", os.path.join(opt.workdir, f"{tag}.net"),
                "--log-file", log, "--quiet"] + extra + opt.extra
-        seeded = seed_reload_target(extra)
+        seeded = seed_reload_target(cmd)
         if seeded:
             print(f"sweep probe {tag}: reload target missing; "
                   f"seeded from {seeded}", flush=True)

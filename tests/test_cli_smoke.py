@@ -362,3 +362,20 @@ def test_sweep_driver_seeds_lost_reload_target(tmp_path):
     # non-reload arms never seed
     assert seed_reload_target(["--filename", "arm.net"],
                               repo=str(tmp_path)) is None
+    # the helper scans the FULL cmd with argparse last-wins semantics:
+    # a driver-default --filename earlier in cmd is overridden by the
+    # probe's own, and --reload may come from opt.extra at the end
+    target.unlink()
+    cmd = ["text_predict", "--filename", "default/tag.net",
+           "--quiet", "--filename", "arm.net", "--reload"]
+    assert seed_reload_target(cmd, repo=str(tmp_path)) == "arm.net.best"
+    assert target.read_bytes() == b"weights"
+    # malformed: --filename as the final token must not crash the driver
+    assert seed_reload_target(["--reload", "--filename"],
+                              repo=str(tmp_path)) is None
+    # a --reload arm relying on the driver default (single --filename)
+    target2 = tmp_path / "tag.net"
+    (tmp_path / "tag.net.best").write_bytes(b"w2")
+    assert seed_reload_target(["--filename", "tag.net", "--reload"],
+                              repo=str(tmp_path)) == "tag.net.best"
+    assert target2.read_bytes() == b"w2"
