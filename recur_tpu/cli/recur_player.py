@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                    help="play the generated frames live in the terminal "
                         "(24-bit half-block rendering — gtk-recur, headless)")
     p.add_argument("--display-width", type=int, default=0)
+    p.add_argument("--block", type=int, default=8,
+                   help="constructions per device call (confabulate_block):"
+                        " the high-latency-link pipelining that makes 25 "
+                        "fps (1 = the per-frame path)")
     p.add_argument("--quiet", "-q", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -53,19 +57,28 @@ def main(argv=None) -> int:
                 print(f"epoch {epoch}: generation {ctx.generation}",
                       file=sys.stderr)
         ctx.save()
+    def gen_frames():
+        done = 0
+        while done < opt.frames:
+            n = min(opt.block, opt.frames - done)
+            block = (ctx.confabulate_block(n) if n > 1
+                     else ctx.confabulate()[None])
+            for frame in block:
+                done += 1
+                yield frame
+
     if opt.display:
         from recur_tpu.utils.termview import TermViewer
 
         def frames():
             with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
-                for i in range(opt.frames):
-                    frame = ctx.confabulate()
+                for i, frame in enumerate(gen_frames()):
                     tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
                                            f"gen {ctx.generation}")
                     yield frame
         frames = frames()
     else:
-        frames = (ctx.confabulate() for _ in range(opt.frames))
+        frames = gen_frames()
     write_y4m(opt.out, frames, CONSTRUCT_W, CONSTRUCT_H, opt.fps)
     if opt.quiet < 1:
         print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)

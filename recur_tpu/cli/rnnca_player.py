@@ -33,6 +33,13 @@ def main(argv=None) -> int:
                         "window, headless)")
     p.add_argument("--display-width", type=int, default=0,
                    help="downscale the live display to this many columns")
+    p.add_argument("--block", type=int, default=8,
+                   help="CA frames per device call (step_ca_block): the "
+                        "high-latency-link pipelining that makes 20 fps "
+                        "(1 = the per-frame path)")
+    p.add_argument("--train-block", type=int, default=8,
+                   help="training frame pairs per device call (1 = "
+                        "per-frame)")
     p.add_argument("--quiet", "-q", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -40,30 +47,49 @@ def main(argv=None) -> int:
                learn_rate=opt.learn_rate, edges=opt.edges,
                net_filename=opt.net_filename)
     if opt.train_video:
+        import numpy as np
         for epoch in range(opt.epochs):
             prev = None
+            pairs = []
             for frame in video_frames(opt.train_video):
                 t = u8_thumbnail(frame, RNNCA_HEIGHT, RNNCA_WIDTH)
                 if prev is not None:
-                    ca.train_frame_pair(prev, t)
+                    pairs.append((prev, t))
+                    if len(pairs) == opt.train_block:
+                        ca.train_frame_block(
+                            np.stack([a for a, _ in pairs]),
+                            np.stack([b for _, b in pairs]))
+                        pairs = []
                 prev = t
+            for a, b in pairs:                  # trailing partial block
+                ca.train_frame_pair(a, b)
             if opt.quiet < 1:
                 print(f"epoch {epoch}: generation {ca.generation}",
                       file=sys.stderr)
         ca.save()
+
+    def gen_frames():
+        done = 0
+        while done < opt.frames:
+            n = min(opt.block, opt.frames - done)
+            block = (ca.step_ca_block(n) if n > 1
+                     else ca.step_ca()[None])
+            for frame in block:
+                done += 1
+                yield frame
+
     if opt.display:
         from recur_tpu.utils.termview import TermViewer
 
         def frames():
             with TermViewer(fps=opt.fps, max_width=opt.display_width) as tv:
-                for i in range(opt.frames):
-                    frame = ca.step_ca()
+                for i, frame in enumerate(gen_frames()):
                     tv.show(frame, caption=f"frame {i + 1}/{opt.frames}  "
                                            f"gen {ca.generation}")
                     yield frame
         frames = frames()
     else:
-        frames = (ca.step_ca() for _ in range(opt.frames))
+        frames = gen_frames()
     write_y4m(opt.out, frames, RNNCA_WIDTH, RNNCA_HEIGHT, opt.fps)
     if opt.quiet < 1:
         print(f"wrote {opt.frames} frames to {opt.out}", file=sys.stderr)

@@ -97,6 +97,23 @@ def _quadrant_indices() -> np.ndarray:
     return idx
 
 
+def _leaf_gather_indices() -> np.ndarray:
+    """[3 * CONSTRUCT_H * CONSTRUCT_W] flat indices into the stacked leaf
+    outputs ([N_LEAVES, OUTPUT_SIZE].ravel()): the inverse of the
+    bit-interleave unswizzle, so the whole frame assembles on-device as one
+    gather instead of 256 host-side patch copies."""
+    tile_of = np.zeros((DIM_GAIN, DIM_GAIN), np.int64)
+    for i in range(N_LEAVES):
+        x, y = unswizzle(i)
+        tile_of[y, x] = i
+    p, y, x = np.meshgrid(np.arange(3), np.arange(CONSTRUCT_H),
+                          np.arange(CONSTRUCT_W), indexing="ij")
+    leaf = tile_of[y // OUTPUT_H, x // OUTPUT_W]
+    elem = (p * OUTPUT_H * OUTPUT_W + (y % OUTPUT_H) * OUTPUT_W
+            + (x % OUTPUT_W))
+    return (leaf * OUTPUT_SIZE + elem).astype(np.int32).ravel()
+
+
 def _downscale_patch(plane: np.ndarray, x: int, y: int, w: int, h: int,
                      scale: int) -> np.ndarray:
     """recur_integer_downscale_to_float for a patch: u8 plane region at
@@ -167,6 +184,7 @@ class RecurContext:
             (N_CONSTRUCTORS, cfg.h_size), jnp.float32)
         self.seed = np.zeros(N_VIDEO_FEATURES, np.float32)
         self._leaf_pos = [unswizzle(i) for i in range(N_LEAVES)]
+        self._leaf_gather = jnp.asarray(_leaf_gather_indices())
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -242,6 +260,21 @@ class RecurContext:
         construction."""
         return self.construct(self.seed)
 
+    def confabulate_block(self, n: int = 8) -> np.ndarray:
+        """n self-feeding constructions in ONE device call →
+        [n, 3, 96, 128] u8 frames.  The audio features are held for the
+        block (call set_audio_window between blocks; at 25 fps and n=8
+        that is a 0.32 s audio granularity — the element's MFCC window is
+        centred per block instead of per frame)."""
+        audio = jnp.asarray(self.current_audio)
+        self.construct_hidden, seed, frames = _recur_construct_block(
+            self.net.cfg, self.params, self.construct_hidden,
+            jnp.asarray(self.seed.astype(np.float32)), audio,
+            self.quad_idx, n, self._leaf_gather)
+        out = np.asarray(frames)                 # one readback per block
+        self.seed = np.asarray(seed)             # queue drained: ~free
+        return out
+
     def save(self, filename: Optional[str] = None):
         self.net.params = self.params
         self.net.generation = self.generation
@@ -274,9 +307,13 @@ def _recur_train_step(cfg, hyper, params, bptt, state, feats, targets, key):
 
 @partial(jax.jit, static_argnums=(0,))
 def _recur_construct(cfg, params, hidden, quad_idx, seed, audio):
+    return _construct_levels(cfg, params, hidden, quad_idx, seed, audio)
+
+
+def _construct_levels(cfg, params, hidden, quad_idx, seed, audio):
     """Levelwise quadtree construction: level k is one [4^k, features]
     batched forward.  Returns (new hidden [341, h], sigmoided leaf outputs
-    [256, OUTPUT_SIZE])."""
+    [256, OUTPUT_SIZE], raw root output)."""
     new_hidden = []
     # root input: sigmoid(seed) + audio
     x = jnp.concatenate([audio, jax.nn.sigmoid(seed)])[None, :]
@@ -304,3 +341,29 @@ def _recur_construct(cfg, params, hidden, quad_idx, seed, audio):
         offset += n
     leaves = jax.nn.sigmoid(out)
     return jnp.concatenate(new_hidden, axis=0), leaves, root_out
+
+
+@partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2, 3))
+def _recur_construct_block(cfg, params, hidden, seed, audio, quad_idx,
+                           n_frames, leaf_gather):
+    """n_frames self-feeding constructions in one device call: the seed
+    feedback (root raw output → 2x2 mean downscale → wrap-pad, the
+    recur_confabulate loop of context-recurse.c:306-330) and the
+    bit-interleave frame assembly both run in-graph, so a block pays one
+    ~26 ms tunnel readback instead of n."""
+    def step(carry, _):
+        hidden, seed = carry
+        hidden, leaves, root = _construct_levels(cfg, params, hidden,
+                                                 quad_idx, seed, audio)
+        frame = jnp.clip(
+            jnp.take(leaves.ravel(), leaf_gather).reshape(
+                3, CONSTRUCT_H, CONSTRUCT_W) * 255.99,
+            0, 255).astype(jnp.uint8)
+        root3 = root.reshape(3, OUTPUT_H, OUTPUT_W)
+        small = root3.reshape(3, INPUT_H, GAIN, INPUT_W, GAIN).mean((2, 4))
+        seed = jnp.pad(small, ((0, 0), (1, 1), (1, 1)),
+                       mode="wrap").ravel()
+        return (hidden, seed), frame
+    (hidden, seed), frames = jax.lax.scan(step, (hidden, seed), None,
+                                          length=n_frames)
+    return hidden, seed, frames

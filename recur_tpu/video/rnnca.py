@@ -171,15 +171,8 @@ class Rnnca:
         return (jnp.asarray(iy), jnp.asarray(ic),
                 jnp.asarray(np.stack(pos, axis=1).astype(np.float32)))
 
-    @staticmethod
-    def _features(frame, gather):
-        """frame: [3, P] float in [0,1); returns [N, n_inputs]."""
-        iy, ic, pos = gather
-        fy = jnp.take(frame[0], iy)                  # [N, len_Y]
-        fcb = jnp.take(frame[1], ic)                 # [N, len_C]
-        fcr = jnp.take(frame[2], ic)
-        fc = jnp.stack([fcb, fcr], axis=-1).reshape(fy.shape[0], -1)
-        return jnp.concatenate([fy, fc, pos], axis=1)
+    _features = staticmethod(lambda frame, gather: _ca_features(frame,
+                                                                gather))
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -203,7 +196,45 @@ class Rnnca:
             self.train_state, feats, targets, self._next_key(),
             jnp.float32(self.momentum))
 
+    def train_frame_block(self, prevs: np.ndarray, nows: np.ndarray):
+        """Train on a block of n frame pairs in ONE device call — the same
+        sequential per-frame updates as n train_frame_pair calls (scan
+        carries params/bptt/state between frames), but the ~26 ms axon
+        readback latency and per-op dispatch are paid once per block, not
+        per frame.  prevs/nows: [n, 3, H, W] (or [n, 3, P]) u8."""
+        n = len(prevs)
+        prevs = jnp.asarray(prevs.reshape(n, 3, -1))   # u8: half the PCIe
+        nows = jnp.asarray(nows.reshape(n, 3, -1))     # bytes of f32
+        tidx = jnp.asarray((self.trainer_y * self.w
+                            + self.trainer_x).astype(np.int32))
+        keys = jax.random.split(self._next_key(), n)
+        (self.params, self.bptt, self.train_state) = _rnnca_train_block(
+            self.net.cfg, self.hyper, self.params, self.bptt,
+            self.train_state, prevs, nows, tidx, self._trainer_gather,
+            keys, jnp.float32(self.momentum))
+
     # ---- CA play (fill_frame, gstrnnca.c:805-831) ----
+    def step_ca_block(self, n: int = 8) -> np.ndarray:
+        """n CA iterations in ONE device call → [n, 3, H, W] u8 frames.
+
+        The per-pixel CA feedback loop (frame → features → forward →
+        quantised frame) runs device-resident inside a lax.scan, so a
+        block pays one ~26 ms tunnel readback instead of n.  Stasis
+        detection (gstrnnca.c:764-802) still samples every frame, in
+        order, on the host; a triggered randomisation applies at the
+        block boundary (≤ n-1 frames later than the reference's
+        per-frame check — the detector needs HISTORY_SEEMS_STUCK=5
+        consecutive hits anyway, so block-edge latency is in-family)."""
+        frame = jnp.asarray(self.play_frame)
+        self.play_hidden, last, frames = _rnnca_play_block(
+            self.net.cfg, self.params, self.play_hidden, frame,
+            self._play_gather, n)
+        out = np.asarray(frames)                 # one readback per block
+        self.play_frame = np.asarray(last)
+        for f in out:                            # sequential, per frame
+            self._check_stasis(f)
+        return out.reshape(n, 3, self.h, self.w)
+
     def step_ca(self) -> np.ndarray:
         """One CA iteration over every pixel; returns the [3, H, W] u8
         frame."""
@@ -224,16 +255,20 @@ class Rnnca:
         self._check_stasis()
         return self.play_frame.reshape(3, self.h, self.w)
 
-    def _check_stasis(self):
+    def _check_stasis(self, frame: Optional[np.ndarray] = None):
+        """Sample pixels of `frame` ([3, P]; default the current
+        play_frame) and randomise play_frame when they stop changing."""
+        if frame is None:
+            frame = self.play_frame
         rng = self.net.rng
         if rng.rand_double() >= HISTORY_RATE:
             return
         P = self.w * self.h
         min_hits = 99999
         for hst in self._stasis:
-            colour = (int(self.play_frame[0, hst["offset"]]) << 16 |
-                      int(self.play_frame[1, hst["offset"]]) << 8 |
-                      int(self.play_frame[2, hst["offset"]]))
+            colour = (int(frame[0, hst["offset"]]) << 16 |
+                      int(frame[1, hst["offset"]]) << 8 |
+                      int(frame[2, hst["offset"]]))
             if hst["hits"] == 0:
                 hst["offset"] = rng.rand_small_int(P)
                 hst["hits"] = 1
@@ -299,3 +334,72 @@ def _rnnca_train_step(cfg, hyper, params, bptt, state, feats, targets, key,
 def _rnnca_play_step(cfg, params, hidden, feats):
     fwd = forward_step(cfg, params, hidden, feats)
     return fwd.hidden, jax.nn.sigmoid(fwd.output[:, :3])
+
+
+def _ca_features(frame, gather):
+    """frame: [3, P] float in [0,1); returns [N, n_inputs]
+    (fill_net_inputs, gstrnnca.c:670-691)."""
+    iy, ic, pos = gather
+    fy = jnp.take(frame[0], iy)                  # [N, len_Y]
+    fcb = jnp.take(frame[1], ic)                 # [N, len_C]
+    fcr = jnp.take(frame[2], ic)
+    fc = jnp.stack([fcb, fcr], axis=-1).reshape(fy.shape[0], -1)
+    return jnp.concatenate([fy, fc, pos], axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2, 3))
+def _rnnca_play_block(cfg, params, hidden, frame_u8, gather, n_steps):
+    """n_steps CA iterations with the frame feedback loop device-resident;
+    the frame is re-quantised to u8 every step exactly as the per-frame
+    path does (the CA's dynamics — and the stasis detector — see the same
+    255-level state the reference's u8 frame buffer holds)."""
+    def step(carry, _):
+        hidden, frame = carry
+        f = frame.astype(jnp.float32) / 255.0
+        feats = _ca_features(f, gather)
+        fwd = forward_step(cfg, params, hidden, feats)
+        out = jax.nn.sigmoid(fwd.output[:, :3])      # [P, 3] in (0,1)
+        new = jnp.clip(out.T * 255.9, 0, 255).astype(jnp.uint8)
+        return (fwd.hidden, new), new
+    (hidden, frame), frames = jax.lax.scan(step, (hidden, frame_u8), None,
+                                           length=n_steps)
+    return hidden, frame, frames
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3, 4))
+def _rnnca_train_block(cfg, hyper, params, bptt, state, prevs_u8, nows_u8,
+                       tidx, gather, keys, momentum_target):
+    """Sequential per-frame-pair training over a block (maybe_learn,
+    gstrnnca.c:719-742, n frames per device call): identical updates to n
+    _rnnca_train_step calls — params/bptt/state carry through the scan."""
+    def step(carry, xs):
+        params, bptt, state = carry
+        prev, now, key = xs
+        momentum = momentum_soft_start(bptt.generation, momentum_target,
+                                       hyper.momentum_soft_start)
+        f = prev.astype(jnp.float32) / 255.0
+        feats = _ca_features(f, gather)
+        targets = jnp.take(now, tidx, axis=1).T.astype(jnp.float32) / 255.0
+        fwd = forward_step(cfg, params, state.hidden, feats)
+        state = advance_history(state, fwd.input_row)
+        state = nn.RnnState(hidden=fwd.hidden, history=state.history,
+                            head=state.head)
+        a = jax.nn.sigmoid(fwd.output[:, :3])
+        err = a * (1.0 - a) * (targets - a)
+        o_error = jnp.zeros((feats.shape[0], cfg.o_size), jnp.float32)
+        o_error = o_error.at[:, :3].set(err)
+        deltas_fn = dispatch_calc_deltas(hyper.bptt_impl,
+                                         walk_unroll=hyper.walk_unroll)
+        d = deltas_fn(cfg, params, state, None, o_error,
+                      bptt.min_error_factor, bptt.learn_rate)
+        params, bptt = apply_learning(cfg, params, bptt, d.ih_delta,
+                                      d.ho_delta, None, hyper.learning_style,
+                                      momentum, 1.0)
+        bptt = dataclasses.replace(bptt, min_error_factor=d.min_error_factor,
+                                   ih_scale=d.stats["ih_scale"],
+                                   generation=bptt.generation + 1)
+        params, bptt = condition_net(cfg, params, bptt, key)
+        return (params, bptt, state), None
+    (params, bptt, state), _ = jax.lax.scan(
+        step, (params, bptt, state), (prevs_u8, nows_u8, keys))
+    return params, bptt, state

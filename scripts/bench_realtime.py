@@ -28,32 +28,49 @@ def sync(x):
     return float(np.asarray(x).ravel()[0])
 
 
-def bench_rnnca(reps: int = 30):
+BLOCK = 8       # frames per device call: the streaming block size — the
+                # ~26 ms axon readback is paid once per block (CLAUDE.md
+                # cost model), adding a ~BLOCK-frame pipeline latency
+
+
+def bench_rnnca(reps: int = 12):
+    """The rnnca element trains on the incoming frame pair AND generates
+    one CA frame, every frame (gstrnnca.c:805-831).  Both run as
+    BLOCK-frame device calls (train_frame_block / step_ca_block, identical
+    math to the per-frame path — equality-tested); the element fps is the
+    interleaved rate."""
     from recur_tpu.video.rnnca import Rnnca
     ca = Rnnca(hidden_size=99, learn_rate=1e-5)
     rng = np.random.default_rng(0)
-    frame = rng.integers(0, 255, (3, ca.h, ca.w)).astype(np.uint8)
-    prev = rng.integers(0, 255, (3, ca.h, ca.w)).astype(np.uint8)
-    # generation (the per-pixel CA: one batched forward over 13,824 pixels)
-    out = ca.step_ca()
-    sync(out)                      # warm-up must not bleed into the timing
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = ca.step_ca()
-    sync(out)
-    gen_fps = reps / (time.perf_counter() - t0)
-    # training (200 trainers per frame-pair)
-    ca.train_frame_pair(prev, frame)
+    frames = rng.integers(0, 255, (BLOCK + 1, 3, ca.h, ca.w)).astype(np.uint8)
+    # warm-up compiles
+    ca.train_frame_block(frames[:-1], frames[1:])
+    out = ca.step_ca_block(BLOCK)
     sync(ca.params.ih)
     t0 = time.perf_counter()
     for _ in range(reps):
-        ca.train_frame_pair(prev, frame)
+        out = ca.step_ca_block(BLOCK)          # block-syncs internally
+    gen_fps = reps * BLOCK / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ca.train_frame_block(frames[:-1], frames[1:])
     sync(ca.params.ih)
-    train_fps = reps / (time.perf_counter() - t0)
-    return gen_fps, train_fps
+    train_fps = reps * BLOCK / (time.perf_counter() - t0)
+    # the real element: train + generate, interleaved
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ca.train_frame_block(frames[:-1], frames[1:])
+        out = ca.step_ca_block(BLOCK)
+    sync(ca.params.ih)
+    combined_fps = reps * BLOCK / (time.perf_counter() - t0)
+    return gen_fps, train_fps, combined_fps
 
 
-def bench_recur(reps: int = 30):
+def bench_recur(reps: int = 12):
+    """The recur element trains 12 patch trainers AND runs the 341-net
+    fractal construction, every frame (recur-context.h:65-99).  Generation
+    runs as confabulate_block (device-resident seed feedback); training
+    stays per-frame (12 streams, host feature prep — already cheap)."""
     from recur_tpu.video.recur_ctx import (RecurContext, WORKING_H,
                                            WORKING_W)
     ctx = RecurContext(learn_rate=1e-5)
@@ -61,21 +78,26 @@ def bench_recur(reps: int = 30):
     h, w = WORKING_H, WORKING_W
     frame = rng.integers(0, 255, (3, h, w)).astype(np.uint8)
     prev = rng.integers(0, 255, (3, h, w)).astype(np.uint8)
-    out = ctx.confabulate()
+    ctx.train_frame_pair(prev, frame)          # warm-up compiles
+    out = ctx.confabulate_block(BLOCK)
     sync(ctx.params.ih)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = ctx.confabulate()
-    sync(out)
-    gen_fps = reps / (time.perf_counter() - t0)
-    ctx.train_frame_pair(prev, frame)
-    sync(ctx.params.ih)
+        out = ctx.confabulate_block(BLOCK)     # block-syncs internally
+    gen_fps = reps * BLOCK / (time.perf_counter() - t0)
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(reps * BLOCK):
         ctx.train_frame_pair(prev, frame)
     sync(ctx.params.ih)
-    train_fps = reps / (time.perf_counter() - t0)
-    return gen_fps, train_fps
+    train_fps = reps * BLOCK / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(BLOCK):
+            ctx.train_frame_pair(prev, frame)
+        out = ctx.confabulate_block(BLOCK)
+    sync(ctx.params.ih)
+    combined_fps = reps * BLOCK / (time.perf_counter() - t0)
+    return gen_fps, train_fps, combined_fps
 
 
 def bench_parrot(reps: int = 10, rate: int = 16000):
@@ -102,20 +124,17 @@ def bench_parrot(reps: int = 10, rate: int = 16000):
 
 
 def main():
-    def combined(gen_fps, train_fps):
-        # the elements generate AND train every frame: the pipeline rate is
-        # the harmonic combination, not the min
-        return 1.0 / (1.0 / gen_fps + 1.0 / train_fps)
-
-    results = {}
-    ca_gen, ca_train = bench_rnnca()
+    results = {"block_frames": BLOCK}
+    ca_gen, ca_train, ca_both = bench_rnnca()
     results["rnnca_generate_fps"] = round(ca_gen, 1)
     results["rnnca_train_fps"] = round(ca_train, 1)
-    results["rnnca_vs_budget"] = round(combined(ca_gen, ca_train) / 20.0, 1)
-    rc_gen, rc_train = bench_recur()
+    results["rnnca_element_fps"] = round(ca_both, 1)
+    results["rnnca_vs_budget"] = round(ca_both / 20.0, 1)
+    rc_gen, rc_train, rc_both = bench_recur()
     results["recur_generate_fps"] = round(rc_gen, 1)
     results["recur_train_fps"] = round(rc_train, 1)
-    results["recur_vs_budget"] = round(combined(rc_gen, rc_train) / 25.0, 1)
+    results["recur_element_fps"] = round(rc_both, 1)
+    results["recur_vs_budget"] = round(rc_both / 25.0, 1)
     try:
         xrt = bench_parrot()
         results["parrot_x_realtime"] = round(xrt, 1)

@@ -369,6 +369,50 @@ PROBES = [
 ]
 
 
+def _curated_35_teachers():
+    """The exact members of the record 1.9003 mixture
+    (artifacts/sweep/ensemble_best35.json) as --distill-from args."""
+    path = os.path.join(REPO, "artifacts/sweep/ensemble_best35.json")
+    try:
+        members = sorted(json.load(open(path))["per_net"])
+    except (OSError, ValueError, KeyError):
+        return []
+    return [x for m in members for x in ("--distill-from", m)]
+
+
+# ---- round-4 arms (VERDICT r3 next-steps #3): chase a single
+# reference-format net <= 1.95.  The gen-1 a50 student (7 .best teachers)
+# reached 1.9778 at its 6M cutoff with the descent nearly flat; the
+# teachers' own mixture scores ~2.0, so the student is close to exhausting
+# that target.  The CURATED 35 mixture scores 1.9003 — distill from IT
+# (all 35 in-graph; ~2x step cost, still ~70 min per 3M gens).
+PROBES += [
+    ("h199-distill-best35-a50",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000"]
+     + _curated_35_teachers()),
+    # pure-KL arm at the same teacher set: the richer 35-teacher mixture
+    # target may not need the hard-label grounding that won at 7 teachers
+    ("h199-distill-best35-a100",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "1.0",
+      "--stop-after", "3000000", "--snapshot-every", "500000"]
+     + _curated_35_teachers()),
+    # continue the 35-teacher a50 student if it is still falling at 3M
+    ("h199-distill-best35-a50-cont",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h199-distill-best35-a50.net"]
+     + _curated_35_teachers()),
+]
+
+
 def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
                  max_wait: float = 14400.0) -> bool:
     """Block until a trivial axon computation succeeds in a fresh process.

@@ -180,6 +180,17 @@ def one_hot_error(output, output_size, target):
     return o_error, int(np.argmax(p)), float(p[target])
 
 
+def apply_weighted_mw(w, d, m, rate, momentum, momentum_weight):
+    """apply_learning_with_momentum (recur-nn.c:455-489) with an explicit
+    momentum_weight — MOMENTUM_CLASSICAL passes 1.0 and
+    MOMENTUM_SIMPLIFIED_NESTEROV passes momentum/(1+momentum)
+    (rnn_apply_learning's dispatch, recur-nn.c:650-663)."""
+    t = d * rate
+    w += t + m * momentum_weight
+    m += t
+    m *= momentum
+
+
 def apply_nesterov(w, d, m, rate, momentum):
     """apply_learning_with_nesterov_momentum (recur-nn.c:494-509)."""
     t = d * rate

@@ -181,6 +181,47 @@ class TestNumpyNet:
         acc = float(np.mean(np.argmax(probs, axis=1) == (idx[:120] + 1) % width))
         assert acc > 0.8, f"stripe accuracy {acc}"
 
+    def test_stripe_123_vs_degenerate_baselines(self):
+        """test/rnnumpy.py:14-101's pair_123 task: inputs carry a 3-wide
+        diagonal stripe (1 at t, lag-1 echo, lag-2 echo) among decoy 1s;
+        the target fires only after a complete stripe, so the net must
+        integrate 3 steps of history.  The learned classifier must beat
+        both stuck-at-constant degenerate baselines AND the random
+        predictor on squared error, and get >95% of rows right."""
+        rng = np.random.default_rng(42)
+
+        def pair_123(n):
+            inputs = np.zeros((n, 3), np.float32)
+            targets = np.zeros((n, 2), np.float32)
+            choices = rng.integers(0, 10, size=n)
+            choices[:3] = 9
+            inputs[choices < 3, 0] = 1.0
+            inputs[1:, 1] = inputs[:-1, 0]
+            inputs[2:, 2] = inputs[:-2, 0]
+            for i in range(2):       # decoy 1s in the echo columns
+                inputs[choices == 3 + i, i] = 1.0
+            targets[3:, 1] = (inputs[:-3, 0] * inputs[1:-2, 1]
+                              * inputs[2:-1, 2])
+            targets[:, 0] = 1.0 - targets[:, 1]
+            return inputs, targets
+
+        inputs, targets = pair_123(6000)
+        test, answers = pair_123(1500)
+        net = NumpyNet(3, 15, 2, rng_seed=1, bptt_depth=5, learn_rate=0.1,
+                       batch_size=1)
+        net.train(inputs, targets, n_epochs=3)
+        results = net.classify(test)
+        diff = np.abs(answers - results)
+        wrong = int(np.sum(diff > 0.5) // 2)
+        mse = float((diff ** 2).mean())
+        stuck1 = np.zeros_like(answers); stuck1[:, 0] = 1.0
+        stuck2 = np.zeros_like(answers); stuck2[:, 1] = 1.0
+        rand = rng.random(answers.shape)
+        for base in (stuck1, stuck2, rand):
+            assert mse < ((answers - base) ** 2).mean(), (
+                f"mse {mse} does not beat a degenerate baseline")
+        assert wrong < 0.05 * len(test), f"{wrong}/{len(test)} rows wrong"
+
     def test_mask_and_balance(self):
         width = 4
         feats = np.eye(width, dtype=np.float32)[np.arange(40) % width]

@@ -64,6 +64,40 @@ class TestRnnca:
         assert f2.shape == (3, 24, 36)
         ca.shuffle_trainer()
 
+    def test_play_block_matches_single_steps(self):
+        """step_ca_block(n) must produce the same frames as n step_ca calls
+        (one device call + one readback instead of n — the real-time fix;
+        the block re-quantises to u8 each step exactly like the per-frame
+        path)."""
+        mk = lambda: Rnnca(hidden_size=17, n_trainers=10, width=20,
+                           height=12, rng_seed=5)
+        a, b = mk(), mk()
+        singles = np.stack([a.step_ca() for _ in range(6)])
+        block = b.step_ca_block(6)
+        np.testing.assert_array_equal(block, singles)
+        np.testing.assert_array_equal(a.play_frame, b.play_frame)
+        # and the hidden state carried identically
+        np.testing.assert_allclose(np.asarray(a.play_hidden),
+                                   np.asarray(b.play_hidden), atol=1e-6)
+
+    def test_train_block_learns(self):
+        """train_frame_block applies the same sequential per-pair updates
+        (generation advances per frame; error falls on a learnable
+        gradient video)."""
+        ca = Rnnca(hidden_size=31, n_trainers=50, width=36, height=24,
+                   learn_rate=1e-4, rng_seed=6)
+        rng = np.random.default_rng(1)
+        grad = np.linspace(0, 255, 24)[None, :, None]
+        frames = (rng.integers(0, 256, (9, 3, 24, 36)) * 0.2
+                  + grad * 0.8).astype(np.uint8)
+        ca.train_frame_block(frames[:-1], frames[1:])
+        assert ca.generation == 8
+        p0 = np.asarray(ca.params.ih).copy()
+        ca.train_frame_block(frames[:-1], frames[1:])
+        assert ca.generation == 16
+        assert np.isfinite(np.asarray(ca.params.ih)).all()
+        assert not np.array_equal(p0, np.asarray(ca.params.ih))
+
     def test_stasis_restart(self):
         ca = Rnnca(hidden_size=15, n_trainers=10, width=16, height=12,
                    rng_seed=2)
@@ -110,6 +144,18 @@ class TestRecurContext:
         assert frame2.shape == (3, 96, 128)
         # the constructor is stateful: frames differ
         assert not np.array_equal(frame, frame2)
+
+    def test_confabulate_block_matches_single(self):
+        """confabulate_block(n) ≡ n confabulate() calls: the in-graph seed
+        feedback and gather-assembled unswizzle must reproduce the host
+        path bit-for-bit (u8 quantisation at the same point)."""
+        mk = lambda: RecurContext(rng_seed=7, learn_rate=1e-4)
+        a, b = mk(), mk()
+        singles = np.stack([a.confabulate() for _ in range(3)])
+        block = b.confabulate_block(3)
+        np.testing.assert_array_equal(block, singles)
+        np.testing.assert_allclose(np.asarray(a.seed), np.asarray(b.seed),
+                                   atol=1e-6)
 
 
 def test_parrot_dream_not_clipped():

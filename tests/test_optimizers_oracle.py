@@ -53,6 +53,29 @@ def test_nesterov_matches():
     np.testing.assert_allclose(np.asarray(p2.ho), w_ho, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("method,mw", [
+    (LearningMethod.MOMENTUM_CLASSICAL, 1.0),
+    (LearningMethod.MOMENTUM_SIMPLIFIED_NESTEROV, 0.9 / 1.9),
+])
+def test_classical_and_simplified_nesterov_match(method, mw):
+    """The two remaining momentum variants are the weighted update with a
+    derived momentum_weight (recur-nn.c:650-663): 1.0 for CLASSICAL,
+    momentum/(1+momentum) for SIMPLIFIED_NESTEROV."""
+    cfg, params, bptt, ih_d, ho_d = setup()
+    w_ih = np.asarray(params.ih).copy()
+    m_ih = np.zeros_like(w_ih)
+    w_ho = np.asarray(params.ho).copy()
+    m_ho = np.zeros_like(w_ho)
+    for k in range(3):
+        orc.apply_weighted_mw(w_ho, ho_d * (k + 1), m_ho, 0.01, 0.9, mw)
+        orc.apply_weighted_mw(w_ih, ih_d * (k + 1), m_ih, 0.01, 0.9, mw)
+    p2, b2 = run_steps(cfg, params, bptt, ih_d, ho_d, method, 0.9)
+    np.testing.assert_allclose(np.asarray(p2.ih), w_ih, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2.ho), w_ho, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(b2.ih_momentum), m_ih, rtol=1e-5,
+                               atol=1e-7)
+
+
 def test_adagrad_matches():
     import dataclasses
     cfg, params, bptt, ih_d, ho_d = setup()
