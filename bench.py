@@ -56,6 +56,32 @@ def quality_records():
         "reference_binary_best_v_entropy": 2.3185,
         "unit": "bits/char on erewhon validation (10k chars, warm lap)",
     }
+
+
+def realtime_records():
+    """Latest committed generative-pillar measurement
+    (scripts/bench_realtime.py on the real chip — static facts; the run
+    itself costs ~25 min of compiles, so the driver bench reports the
+    committed artifact rather than re-measuring)."""
+    best = None
+    for f in sorted(glob.glob(os.path.join(REPO,
+                                           "artifacts/realtime/*.json"))):
+        try:
+            best = json.load(open(f))
+            best["artifact"] = os.path.basename(f)
+        except Exception:
+            continue
+    return best
+
+
+def classify_hard_records():
+    """Latest committed hard-classify evaluation (scripts/classify_hard.py
+    — the task that can fail: same-band AM-rate discrimination)."""
+    f = os.path.join(REPO, "artifacts/classify_hard/results.json")
+    try:
+        return json.load(open(f))
+    except Exception:
+        return None
 sys.path.insert(0, REPO)
 
 C_BASELINE_FALLBACK = 26641.0  # chars/s measured on this image's CPU
@@ -328,6 +354,8 @@ def main():
             "caravel_train_chars_per_sec": round(caravel, 0),
             "caravel_configs": caravel_configs,
             "quality": quality_records(),
+            "realtime_pillars": realtime_records(),
+            "classify_hard": classify_hard_records(),
             "classify_note": "compute-only (device-resident PCM frames), "
                 "pipelined steady-state: window+FFT+40 log bins+h=199 fwd+"
                 "depth-30 BPTT+apply per window, 1000 channels; C baseline "
