@@ -103,8 +103,7 @@ class Rnnca:
                  momentum: float = 0.95, momentum_soft_start: float = 2000.0,
                  bptt_depth: int = 30, edges: bool = False, rng_seed: int = 2,
                  width: int = RNNCA_WIDTH, height: int = RNNCA_HEIGHT,
-                 len_pos: int = 3, net_filename: Optional[str] = None,
-                 use_pallas: bool = False):
+                 len_pos: int = 3, net_filename: Optional[str] = None):
         self.w, self.h = width, height
         self.edges = edges
         self.offsets_y, self.offsets_c = parse_offset_pattern(pattern)
@@ -152,11 +151,11 @@ class Rnnca:
         # stasis detection history
         self._stasis = [{"offset": int(rng.integers(0, P)), "hits": 1,
                          "colour": -1} for _ in range(HISTORY_SAMPLES)]
-        # optionally serve the CA through the fused Pallas forward kernel
-        self.use_pallas = use_pallas
-        if use_pallas:
-            from recur_tpu.ops.pallas_kernels import forward_available
-            self.use_pallas = forward_available(self.net.cfg, P)
+        # NOTE a fused single-block Pallas forward kernel was built and
+        # raced for this serving fleet in rounds 3-4: 0.92x XLA at 13,824
+        # streams / 1.05x at 341 (artifacts/realtime/pallas_race_r04.json)
+        # — XLA's own fusion already saturates the shape, so the kernel
+        # was removed rather than shipped as dead weight.
 
     def _build_gather(self, xs, ys, edges):
         """Precompute (plane_idx, flat_idx) feature gathers + positional
@@ -241,15 +240,8 @@ class Rnnca:
         frame = jnp.asarray(
             self.play_frame.astype(np.float32) / 255.0)
         feats = self._features(frame, self._play_gather)
-        if self.use_pallas:
-            from recur_tpu.ops.pallas_kernels import fused_rnn_forward
-            self.play_hidden, out = fused_rnn_forward(
-                self.net.cfg, self.params, (self.play_hidden, feats),
-                "sigmoid", False)
-            out = out[:, :3]
-        else:
-            self.play_hidden, out = _rnnca_play_step(
-                self.net.cfg, self.params, self.play_hidden, feats)
+        self.play_hidden, out = _rnnca_play_step(
+            self.net.cfg, self.params, self.play_hidden, feats)
         f = np.asarray(out)                          # [P, 3] in [0,1)
         self.play_frame = np.clip(f.T * 255.9, 0, 255).astype(np.uint8)
         self._check_stasis()

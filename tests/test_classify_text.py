@@ -1,5 +1,6 @@
 """Text classification (charmodel-classify.c semantics)."""
 
+import pytest
 import numpy as np
 
 from recur_tpu import nn
@@ -29,6 +30,7 @@ def test_alloc_classified_text():
     assert cls[4] == NO_CLASS and cls[5] == 1
 
 
+@pytest.mark.slow
 def test_classifier_learns():
     a = Alphabet.from_chars(" abcdefgh")
     blocks = []

@@ -21,6 +21,7 @@ def run_cli(module, args, timeout=300):
 
 
 @pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+@pytest.mark.slow
 def test_text_predict_then_confab_and_xe(tmp_path):
     net = str(tmp_path / "t.net")
     r = run_cli("recur_tpu.cli.text_predict",
@@ -70,6 +71,7 @@ def _write_tone_wavs(d, classes="ab", rate=8000, secs=1.2):
     return paths
 
 
+@pytest.mark.slow
 def test_audio_classify_cli_chain(tmp_path):
     """classify-train -> classify-test -> multi-test -> find-bird-calls ->
     classify-monitor on a synthetic 2-class corpus."""
@@ -109,6 +111,7 @@ def test_audio_classify_cli_chain(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_text_classify_cli(tmp_path):
     """text-classify trains a 2-language classifier; results CLI scores."""
     f1 = tmp_path / "lang1.txt"
@@ -196,6 +199,7 @@ def test_recur_player_cli(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+@pytest.mark.slow
 def test_text_predict_override_params(tmp_path):
     """--reload keeps the file's learn-rate; --reload -o applies the CLI's
     (text-predict.c:517-522)."""
@@ -244,6 +248,7 @@ def test_text_predict_log_keys(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+@pytest.mark.slow
 def test_text_cross_entropy_ensemble(tmp_path):
     """Repeated -f scores with a mixture ensemble: self-ensemble is
     identical to the single net; a two-seed ensemble runs end-to-end, as
@@ -305,6 +310,7 @@ def test_text_cross_entropy_ensemble(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(EREWHON), reason="corpus missing")
+@pytest.mark.slow
 def test_ensemble_harvest_collects_and_excludes(tmp_path):
     """ensemble_harvest globs .best/.ema/.g<GEN> snapshots from a sweep
     dir, honours --exclude (distilled students stay out of mixtures that

@@ -53,6 +53,7 @@ class TestCharNet:
         net.learn_rate = 0.5
         assert abs(net.learn_rate - 0.5) < 1e-6
 
+    @pytest.mark.slow
     def test_train_and_test_separates_classes(self):
         a, net = self.make(learn_rate=0.01)
         text1 = a.encode_text(b"abab cdcd " * 40)

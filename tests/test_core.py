@@ -126,6 +126,7 @@ def test_training_trajectory_matches_oracle():
                                rtol=5e-2, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_multi_stream_equals_summed_oracles():
     """S=3 streams sharing weights == 3 oracle clones writing one delta array
     (the synchronic mini-batch, recur-nn-init.c:221-243).
@@ -178,6 +179,7 @@ def test_multi_stream_equals_summed_oracles():
         oracles[0].apply_weighted(ih_sum, ho_sum)
 
 
+@pytest.mark.slow
 def test_chunk_equals_stepwise():
     """char_train_chunk(scan) == repeated char_train_step."""
     o, cfg, params, state, bptt = make_pair(seed=31)
@@ -291,6 +293,7 @@ def test_calc_deltas_twopass_equivalence():
                                        err_msg=k)
 
 
+@pytest.mark.slow
 def test_factored_ring_equivalence():
     """The one-hot-factored ring (tokens + [bias,hidden] section) must train
     identically to the dense ring across activations, including steps where

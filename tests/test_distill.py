@@ -71,6 +71,7 @@ class TestDistillChunk:
         np.testing.assert_array_equal(np.asarray(tot1.entropy),
                                       np.asarray(tot2.entropy))
 
+    @pytest.mark.slow
     def test_distillation_reaches_the_teacher(self):
         # teach the teacher a deterministic cycle, then distill a fresh
         # student from it with blended soft targets: the student must land

@@ -53,6 +53,7 @@ def _single_process_entropy() -> float:
     return ent
 
 
+@pytest.mark.slow
 def test_two_process_training_matches_single_process():
     golden = _single_process_entropy()
 

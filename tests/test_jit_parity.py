@@ -1,6 +1,7 @@
 """jit-vs-eager parity (SURVEY.md §4's TPU-appropriate addition): the same
 step traced under jit and run op-by-op must agree."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -12,6 +13,7 @@ from recur_tpu.nn import Flag
 from recur_tpu.ops import init as winit
 
 
+@pytest.mark.slow
 def test_char_step_jit_vs_eager():
     net = nn.new_net(7, 11, 7, flags=Flag.STANDARD | Flag.BPTT_ADAPTIVE_MIN_ERROR,
                      rng_seed=3, depth=5, learn_rate=0.01)

@@ -277,6 +277,7 @@ def test_gspmd_distill_chunk():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_classify_channel_sharding():
     """End-to-end classify training on the mesh (channels over 'data',
     hidden over 'model') equals the single-device classifier exactly —
@@ -459,6 +460,7 @@ def test_windowed_after_ragged_piece_carries_deltas():
                                rtol=0.3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_multihead_top_dtype_bf16_close():
     """TrainHyper.top_dtype='bfloat16' keeps the [S, o_size] top-error
     tensors in bf16 (an opt-in HBM-bandwidth lever at multihead widths,

@@ -174,6 +174,7 @@ class TestEpochReporting:
 
 
 class TestBestSnapshot:
+    @pytest.mark.slow
     def test_best_net_saved_at_validation_record(self, tmp_path):
         from recur_tpu.utils.kvlog import KvLog
         fn = str(tmp_path / "snap.net")
@@ -306,6 +307,7 @@ class TestReportImageDumps:
 
 
 class TestMultiheadBatch:
+    @pytest.mark.slow
     def test_train_batch_streams(self):
         a = Alphabet(alphabet_chars=" abcdefgh")
         net = CharNet(a, ["x", "y", "z"], 13, log_file=None,
