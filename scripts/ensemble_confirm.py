@@ -36,6 +36,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import jax                                           # noqa: E402
+# scoring is tiny; run on the host so the chip stays free for training
+# (JAX_PLATFORMS=cpu alone is not enough — the axon hook wins, CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+
 from recur_tpu import nn
 from recur_tpu.models.charmodel import (
     combine_probs, ensemble_alphabet, member_probs)
