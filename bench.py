@@ -330,7 +330,14 @@ def main():
                    # the caravel bind)
                    {"walk_unroll": 8, "top_dtype": "bfloat16",
                     "history_dtype": "bfloat16", "bptt_impl": "factored"},
-                   {"walk_unroll": 8, "bptt_impl": "factored"}):
+                   {"walk_unroll": 8, "bptt_impl": "factored"},
+                   # round-4: factored ring + windowed batched walk — the
+                   # two walk-traffic cuts compose (the window buffer's
+                   # depth-step re-reads shrink i=176 -> W=101 on top of
+                   # the [S*B] batching)
+                   {"batch_size": 16, "unroll": 4, "walk_unroll": 8,
+                    "top_dtype": "bfloat16", "history_dtype": "bfloat16",
+                    "bptt_impl": "factored"}):
             c = caravel_bench(**kw)
             tag = ",".join(f"{k}={v}" for k, v in kw.items())
             print(f"# caravel {tag}: {c:,.0f} chars/s "

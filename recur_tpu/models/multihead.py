@@ -156,7 +156,8 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
     math; the apply happens every B chars from the CHUNK START (the
     sequential path follows generation % B), and the adaptive
     min_error_factor composes per window (see calc_deltas_window)."""
-    from recur_tpu.ops.core import calc_deltas_window
+    from recur_tpu.ops.core import (calc_deltas_window,
+                                    calc_deltas_window_factored)
 
     B = hyper.batch_size
     S, T1 = tokens.shape
@@ -166,17 +167,21 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
     n_windows = T // B
     depth = cfg.depth
     hdtype = state.history.dtype
+    factored = hyper.bptt_impl == "factored"
+    W = state.history.shape[2]        # input_offset when factored, else i
 
     # the ring's last D rows, oldest -> newest (the window buffer's seed)
     ring_idx = (state.head + 1 + jnp.arange(depth)) % depth
-    tail0 = jnp.take(state.history, ring_idx, axis=1)       # [S, D, i]
+    tail0 = jnp.take(state.history, ring_idx, axis=1)   # [S, D, i] or [.., W]
+    tok_tail0 = (jnp.take(state.tokens, ring_idx, axis=1)
+                 if factored else jnp.zeros((S, depth), jnp.int32))
 
     xs = jnp.moveaxis(tokens[:, :-1].reshape(S, n_windows, B), 1, 0)
     ys = jnp.moveaxis(tokens[:, 1:].reshape(S, n_windows, B), 1, 0)
     keys = jax.random.split(key, n_windows)
 
     def window(carry, inp):
-        params, bptt, hidden, tail = carry
+        params, bptt, hidden, tail, tok_tail = carry
         xw, yw, k = inp                                     # [S, B]
         nk, lk = jax.random.split(k)
         nkeys = jax.random.split(nk, B)
@@ -226,11 +231,22 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
         su_w = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), su_w)
         p_t = jnp.moveaxis(p_t, 0, 1)                       # [S, B]
 
-        rows_full = jnp.concatenate(
-            [tail[:, 1:], rows_w.astype(hdtype)], axis=1)   # [S, D-1+B, i]
-        d = calc_deltas_window(cfg, params, rows_full, su_w,
-                               mef, bptt.learn_rate,
-                               walk_unroll=hyper.walk_unroll)
+        if factored:
+            # the window buffer holds only the [bias, hidden] section plus
+            # token ids — the walk re-reads ~43% fewer bytes per depth step
+            rows_full = jnp.concatenate(
+                [tail[:, 1:], rows_w[:, :, :W].astype(hdtype)], axis=1)
+            toks_full = jnp.concatenate([tok_tail[:, 1:], xw], axis=1)
+            d = calc_deltas_window_factored(
+                cfg, params, rows_full, toks_full, su_w, mef,
+                bptt.learn_rate, walk_unroll=hyper.walk_unroll)
+        else:
+            toks_full = tok_tail                  # unused, shape-stable
+            rows_full = jnp.concatenate(
+                [tail[:, 1:], rows_w.astype(hdtype)], axis=1)  # [S,D-1+B,i]
+            d = calc_deltas_window(cfg, params, rows_full, su_w,
+                                   mef, bptt.learn_rate,
+                                   walk_unroll=hyper.walk_unroll)
         # fold in any deltas a preceding per-char piece accumulated toward
         # its next apply (mixing ragged sequential pieces with windowed
         # ones must not strand gradients in the accumulators); zeroed
@@ -247,16 +263,17 @@ def multihead_train_window_chunk(cfg: RnnConfig, hyper: TrainHyper,
                                    generation=bptt.generation + B)
         stats = MultiStats(error=jnp.sum(1.0 - p_t),
                            entropy=jnp.sum(-capped_log2(p_t)))
-        return (params, bptt, hidden, rows_full[:, -depth:]), stats
+        return (params, bptt, hidden, rows_full[:, -depth:],
+                toks_full[:, -depth:]), stats
 
-    carry0 = (params, bptt, state.hidden, tail0)
-    (params, bptt, hidden, tail), stats = jax.lax.scan(
+    carry0 = (params, bptt, state.hidden, tail0, tok_tail0)
+    (params, bptt, hidden, tail, tok_tail), stats = jax.lax.scan(
         window, carry0, (xs, ys, keys))
     # rebuild the ring (newest at head = depth-1) so save/reload and the
     # per-char paths stay interoperable
     state = RnnState(hidden=hidden, history=tail,
                      head=jnp.int32(depth - 1),
-                     tokens=state.tokens)
+                     tokens=tok_tail if factored else state.tokens)
     return params, bptt, state, jax.tree.map(jnp.sum, stats)
 
 

@@ -827,6 +827,152 @@ def calc_deltas_window(cfg: RnnConfig, params: RnnParams, rows: jax.Array,
                     stats=stats)
 
 
+def calc_deltas_window_factored(cfg: RnnConfig, params: RnnParams,
+                                rows_head: jax.Array, toks: jax.Array,
+                                su_w: _BpttSetup, min_error_factor: jax.Array,
+                                learn_rate: jax.Array,
+                                walk_unroll: int = 1) -> DeltaOut:
+    """calc_deltas_window over the one-hot-factored ring: the window buffer
+    holds only the [bias, hidden] section ([S, D-1+B, W]) plus token ids
+    ([S, D-1+B]) — the walk's dominant HBM traffic (the row slices re-read
+    every depth step) shrinks by i_size/W (~43% at the caravel shape,
+    charmodel-multi-predict.c semantics) while the math stays identical to
+    f32 tolerance (the one-hot entry's value equals the stored bias, as in
+    calc_deltas_factored).
+
+    rows_head: [S, D-1+B, W] (any float dtype); toks: [S, D-1+B] int32.
+    """
+    assert not cfg.has_bottom, "factored BPTT needs one-hot RNN inputs"
+    S, B = su_w.h_err0.shape[:2]
+    depth = cfg.depth
+    N = S * B
+    W = rows_head.shape[2]
+    vocab = cfg.input_size
+    vocab_iota = jnp.arange(vocab)
+    hmask = _hidden_mask(cfg)
+    mef_flat = jnp.broadcast_to(min_error_factor[:, None], (S, B)).reshape(N)
+    e0 = su_w.h_err0
+    min_es, max_es = su_w.min_error_sum, su_w.max_error_sum      # [S, B]
+    su_flat = su_w._replace(
+        h_err0=None,
+        top_error_sum=su_w.top_error_sum.reshape(N),
+        top_scaled=su_w.top_scaled.reshape(N),
+        max_error_sum=max_es.reshape(N),
+        error_sum_ceiling=su_w.error_sum_ceiling.reshape(N),
+        min_error_gain=su_w.min_error_gain.reshape(N),
+        min_error_sum=min_es.reshape(N))
+    edtype = rows_head.dtype
+    ih_headT_e = params.ih[:W].T.astype(edtype)                  # [h, W]
+    ih_tail_e = params.ih[cfg.input_offset:
+                          cfg.input_offset + vocab].astype(edtype)
+    hmask_e = hmask.astype(edtype)
+
+    def slices(d):
+        hid_d = jax.lax.dynamic_slice_in_dim(
+            rows_head, (depth - 1) - d, B, axis=1)       # [S, B, W]
+        tok_d = jax.lax.dynamic_slice_in_dim(
+            toks, (depth - 1) - d, B, axis=1)            # [S, B]
+        return hid_d, tok_d
+
+    def step(carry, d):
+        e_h, active, last_err, k_active, cum_err = carry
+        hid_d, tok_d = slices(d)
+        scale_d = hid_d[..., 0]                          # one-hot value
+        e_h = e_h * hmask_e
+        e_hid = jnp.matmul(e_h.reshape(N, cfg.h_size), ih_headT_e,
+                           preferred_element_type=edtype).reshape(S, B, W)
+        t_oh = (tok_d[..., None] == vocab_iota).astype(edtype)
+        e_tok = jnp.einsum(
+            "sbh,sbh->sb", e_h,
+            jnp.matmul(t_oh.reshape(N, vocab), ih_tail_e,
+                       preferred_element_type=edtype).reshape(
+                S, B, cfg.h_size),
+            preferred_element_type=edtype)
+        if cfg.activation == Activation.RESQRT:
+            e_hid = e_hid / (2.0 * (hid_d + jnp.asarray(1.0, edtype)))
+            e_tok = e_tok / (2.0 * (scale_d + jnp.asarray(1.0, edtype)))
+        m = _row_mask(cfg, hid_d)
+        e_hid = jnp.where(m, e_hid, jnp.asarray(0.0, edtype))
+        tok_live = scale_d != 0.0
+        if cfg.activation == Activation.RECLIP20:
+            tok_live = tok_live & (scale_d.astype(jnp.float32) < 20.0)
+        e_tok = jnp.where(tok_live, e_tok, jnp.asarray(0.0, edtype))
+        ehid32 = e_hid.astype(jnp.float32)
+        etok32 = e_tok.astype(jnp.float32)
+        err_sum = jnp.sum(ehid32 * ehid32, axis=2) + etok32 * etok32
+        y_eh = jnp.where(active[..., None], e_h, jnp.asarray(0.0, edtype))
+        act_f = active.astype(jnp.float32)
+        cum_err = cum_err + jnp.sqrt(err_sum) * act_f
+        last_err = jnp.where(active, err_sum, last_err)
+        k_active = k_active + active.astype(jnp.int32)
+        trip = (err_sum <= min_es) | (err_sum > max_es)
+        active = active & ~trip
+        pad = cfg.h_size - W
+        e_next = (jnp.pad(e_hid, ((0, 0), (0, 0), (0, pad))) if pad
+                  else e_hid)
+        return (e_next, active, last_err, k_active, cum_err), y_eh
+
+    z = jnp.zeros((S, B), jnp.float32)
+    carry0 = (e0.astype(edtype), jnp.ones((S, B), bool), z,
+              jnp.zeros((S, B), jnp.int32), z)
+    (e_fin, active_fin, last_err, k_active, cum_err), eh_buf = \
+        jax.lax.scan(step, carry0, jnp.arange(depth),
+                     unroll=min(walk_unroll, depth))
+
+    clipped, ih_scale, t_final, new_mef_flat = _bptt_epilogue(
+        cfg, su_flat, mef_flat, last_err.reshape(N), active_fin.reshape(N),
+        k_active.reshape(N), depth)
+    scale = ih_scale.reshape(S, B)
+    scale_e = scale.astype(edtype)
+
+    def gstep(acc, inp):
+        head_acc, vocab_acc = acc
+        eh_d, d = inp
+        hid_d, tok_d = slices(d)
+        scales_d = hid_d[..., 0]
+        if cfg.activation == Activation.RECLIP20:
+            hid_d = jnp.where(_row_mask(cfg, hid_d), hid_d,
+                              jnp.asarray(0.0, edtype))
+            scales_d = jnp.where(scales_d.astype(jnp.float32) < 20.0,
+                                 scales_d, jnp.asarray(0.0, edtype))
+        ehs = eh_d * scale_e[..., None]
+        head_acc = head_acc + jnp.einsum(
+            "sbw,sbh->wh", hid_d, ehs, preferred_element_type=jnp.float32)
+        onehot = ((tok_d[..., None] == vocab_iota).astype(edtype)
+                  * scales_d[..., None])                  # [S, B, vocab]
+        vocab_acc = vocab_acc + jnp.einsum(
+            "sbv,sbh->vh", onehot, ehs, preferred_element_type=jnp.float32)
+        return (head_acc, vocab_acc), None
+
+    (head_grad, vocab_grad), _ = jax.lax.scan(
+        gstep,
+        (jnp.zeros((W, cfg.h_size), jnp.float32),
+         jnp.zeros((vocab, cfg.h_size), jnp.float32)),
+        (eh_buf, jnp.arange(depth)), unroll=min(walk_unroll, depth))
+
+    ih_delta = jnp.zeros((cfg.i_size, cfg.h_size), jnp.float32)
+    ih_delta = ih_delta.at[:W].set(head_grad)
+    ih_delta = ih_delta.at[cfg.input_offset:cfg.input_offset + vocab].set(
+        vocab_grad)
+
+    factors = (new_mef_flat / mef_flat).reshape(S, B)
+    new_mef = jnp.clip(min_error_factor * jnp.prod(factors, axis=1),
+                       ABS_MIN_ERROR_FACTOR, MAX_MIN_ERROR_FACTOR)
+    stats = {
+        "depth": (depth - t_final.reshape(S, B)).astype(jnp.float32).sum(1),
+        "ih_scale": scale[:, -1],
+        "ih_scale_sum": scale.sum(1),
+        "top_error_raw": su_w.top_error_sum.sum(1),
+        "top_error_scaled": su_w.top_scaled.sum(1),
+        "error_sum": last_err.sum(1),
+        "cum_error": cum_err.sum(1),
+        "min_error_threshold": min_es[:, -1],
+    }
+    return DeltaOut(ih_delta=ih_delta, ho_delta=None,
+                    bottom_delta=None, min_error_factor=new_mef,
+                    stats=stats)
+
+
 def dispatch_calc_deltas(bptt_impl: str, *, factored_ok: bool = False,
                          walk_unroll: int = 1):
     """Map TrainHyper.bptt_impl to a calc_deltas implementation with a

@@ -179,6 +179,45 @@ class TestMultiheadFactored:
                                    rtol=1e-4, atol=1e-6)
         assert abs(outs["buffered"][2] - outs["factored"][2]) < 1e-3
 
+    def test_factored_window_matches_dense_window(self):
+        """The factored ring also drives the WINDOWED batched walk
+        (calc_deltas_window_factored): same math as the dense windowed
+        form to f32 tolerance, with the window buffer holding only
+        [bias, hidden] + token ids."""
+        from recur_tpu.models.multihead import multihead_train_window_chunk
+        S, T, B, alen, n_classes = 5, 24, 6, 9, 4
+        net = nn.new_net(alen, 15, alen * n_classes, rng_seed=2, depth=5,
+                         learn_rate=1e-3)
+        winit.randomise_weights(net)
+        cfg = net.cfg
+        rng = np.random.default_rng(1)
+        tokens = jnp.asarray(rng.integers(0, alen, (S, T + 1)), jnp.int32)
+        tclass = jnp.asarray(rng.integers(0, n_classes, S), jnp.int32)
+        args = (tokens, tclass, jnp.float32(0.1), jax.random.PRNGKey(3),
+                jnp.float32(0.9), jnp.float32(0.0))
+        outs = {}
+        for impl in ("buffered", "factored"):
+            hyper = TrainHyper(condition=False, bptt_impl=impl,
+                               batch_size=B)
+            p = jax.tree.map(jnp.copy, net.params)
+            b = nn.new_bptt_state(cfg, S, 1e-3, 0.9)
+            s = nn.new_state(cfg, S, factored=(impl == "factored"))
+            p, b, s, stats = multihead_train_window_chunk(
+                cfg, hyper, alen, p, b, s, *args)
+            outs[impl] = (np.asarray(p.ih), np.asarray(p.ho),
+                          float(stats.entropy), s)
+        np.testing.assert_allclose(outs["buffered"][0], outs["factored"][0],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(outs["buffered"][1], outs["factored"][1],
+                                   rtol=1e-4, atol=1e-6)
+        assert abs(outs["buffered"][2] - outs["factored"][2]) < 1e-3
+        # the rebuilt factored ring matches the dense ring's head section
+        dense_ring = np.asarray(outs["buffered"][3].history)
+        fact_ring = np.asarray(outs["factored"][3].history)
+        W = fact_ring.shape[2]
+        np.testing.assert_allclose(dense_ring[:, :, :W], fact_ring,
+                                   rtol=1e-5, atol=1e-7)
+
     def test_compat_net_accepts_bptt_impl(self):
         from recur_tpu.compat.charmodel import Alphabet as CAlpha, Net as CNet
         a = CAlpha(alphabet_chars=" abcdefgh")
