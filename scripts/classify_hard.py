@@ -179,6 +179,9 @@ def main(argv=None):
     p.add_argument("--n-per-class", type=int, default=16)
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--n-seeds", type=int, default=3,
+                   help="independent corpus+net draws per ablation arm "
+                        "(the lag arms are variance-dominated at 3)")
     p.add_argument("--base-snr", type=float, default=0.0,
                    help="SNR dB for the non-sweep corpora")
     p.add_argument("--lr", type=float, default=2e-4)
@@ -237,8 +240,8 @@ def main(argv=None):
             print(f"snr {snr:+.0f}:",
                   results["snr_sweep"][f"{snr:+.0f}dB"], flush=True)
 
-    seeds = (opt.seed,) if opt.smoke else (opt.seed, opt.seed + 1,
-                                           opt.seed + 2)
+    seeds = (opt.seed,) if opt.smoke else tuple(
+        opt.seed + i for i in range(opt.n_seeds))
 
     if "imbalance" in sections:
         def imb_corpus(s):
@@ -274,6 +277,14 @@ def main(argv=None):
     results["elapsed_sec"] = round(time.time() - t0, 1)
     out_path = os.path.join(REPO, opt.out)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if opt.only and os.path.exists(out_path):
+        # a partial re-run (--only snr / lag / ...) updates just its
+        # sections in the committed record instead of clobbering the rest
+        merged = json.load(open(out_path))
+        merged.update({k: v for k, v in results.items()
+                       if k not in ("elapsed_sec",)})
+        merged["elapsed_sec"] = results["elapsed_sec"]
+        results = merged
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

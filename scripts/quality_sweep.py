@@ -386,7 +386,10 @@ def _curated_35_teachers():
 # teachers' own mixture scores ~2.0, so the student is close to exhausting
 # that target.  The CURATED 35 mixture scores 1.9003 — distill from IT
 # (all 35 in-graph; ~2x step cost, still ~70 min per 3M gens).
-PROBES += [
+# PREPENDED (round-4 session 2): these are the highest-value open arms —
+# run them before the leftover exploration queue (the done-set skips
+# completed tags, so reordering is safe).
+PROBES[:0] = [
     ("h199-distill-best35-a50",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
