@@ -390,6 +390,16 @@ def _curated_35_teachers():
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # the 35-teacher a50 student kept descending through its 6M cutoff
+    # (1.9905@3M -> 1.9656@5.83M, the single-net record): continue to 9M
+    ("h199-distill-best35-a50-cont2",
+     ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "9000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h199-distill-best35-a50.net"]
+     + _curated_35_teachers()),
     ("h199-distill-best35-a50",
      ["--hidden-size", "199", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
