@@ -369,15 +369,18 @@ PROBES = [
 ]
 
 
-def _curated_35_teachers():
-    """The exact members of the record 1.9003 mixture
-    (artifacts/sweep/ensemble_best35.json) as --distill-from args."""
-    path = os.path.join(REPO, "artifacts/sweep/ensemble_best35.json")
+def _curated_teachers(artifact="ensemble_best35.json"):
+    """The exact members of a committed mixture record as
+    --distill-from args."""
+    path = os.path.join(REPO, "artifacts/sweep", artifact)
     try:
         members = sorted(json.load(open(path))["per_net"])
     except (OSError, ValueError, KeyError):
         return []
     return [x for m in members for x in ("--distill-from", m)]
+
+
+_curated_35_teachers = _curated_teachers
 
 
 # ---- round-4 arms (VERDICT r3 next-steps #3): chase a single
@@ -390,6 +393,17 @@ def _curated_35_teachers():
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # round-4b: a BIGGER student for the record 41-member mixture.
+    # Direct h=399 training overfits (2.19+ at every tried noise), but
+    # distillation's soft-target regularisation is a different regime —
+    # the h=199 student landed 0.97x its teachers' own mixture score;
+    # h=399 has the capacity to get closer to the mixture's 1.8973.
+    ("h399-distill-best41-a50",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000"]
+     + _curated_teachers("ensemble_best41.json")),
     # the 35-teacher a50 student kept descending through its 6M cutoff
     # (1.9905@3M -> 1.9656@5.83M, the single-net record): continue to 9M
     ("h199-distill-best35-a50-cont2",
