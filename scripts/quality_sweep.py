@@ -393,6 +393,17 @@ _curated_35_teachers = _curated_teachers
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # round-4c: the h=399 student descends steeply through its 3M cutoff
+    # (1.9182@2.36M, already below the mixture-of-teachers' half-way
+    # point): continue to 9M
+    ("h399-distill-best41-a50-cont",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "9000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h399-distill-best41-a50.net"]
+     + _curated_teachers("ensemble_best41.json")),
     # round-4b: a BIGGER student for the record 41-member mixture.
     # Direct h=399 training overfits (2.19+ at every tried noise), but
     # distillation's soft-target regularisation is a different regime —
