@@ -393,6 +393,42 @@ _curated_35_teachers = _curated_teachers
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # ---- round-4d: capacity FLIPS under distillation (h=399 student
+    # 1.9160 vs the best h=199 student's 1.9645, both from the 41-member
+    # mixture).  Push the lever to h=799 (direct training overfits to
+    # 2.30; the soft-target regulariser is the different regime), spread
+    # the h=399 recipe's seed, and pre-queue their reload continuations
+    # (stop 6M: the trend schedule exhausts a continuation ~2M gens
+    # after reload — the h399-cont's LR hit its 1e-7 floor by 4.8M).
+    ("h799-distill-best41-a50",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000"]
+     + _curated_teachers("ensemble_best41.json")),
+    ("h399-distill-best41-a50-s2",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "2"]
+     + _curated_teachers("ensemble_best41.json")),
+    ("h799-distill-best41-a50-cont",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
+     + _curated_teachers("ensemble_best41.json")),
+    ("h399-distill-best41-a50-s2-cont",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h399-distill-best41-a50-s2.net"]
+     + _curated_teachers("ensemble_best41.json")),
     # round-4c: the h=399 student descends steeply through its 3M cutoff
     # (1.9182@2.36M, already below the mixture-of-teachers' half-way
     # point): continue to 9M
