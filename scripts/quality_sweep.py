@@ -393,6 +393,27 @@ _curated_35_teachers = _curated_teachers
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # ---- round-4e: the capacity ladder under the 41-teacher soft-target
+    # mixture is monotone — 1.9645 (h=199) -> 1.9160 (h=399) -> 1.8778
+    # (h=799) — while DIRECT training at these sizes overfits (2.22 /
+    # 2.30).  Take the next rung.  h=1599 pays ~4x the h=799 recurrent
+    # matmul; stop at 2M gens (every bigger student's .best landed in
+    # the first half of its leg: h=399 at 2.6M/3M, h=799 at 1.37M/3M).
+    ("h1599-distill-best41-a50",
+     ["--hidden-size", "1599", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "2000000", "--snapshot-every", "500000"]
+     + _curated_teachers("ensemble_best41.json")),
+    # seed spread of the record h=799 recipe: recipe-vs-draw evidence and
+    # a strong decorrelated ensemble member in one run
+    ("h799-distill-best41-a50-s2",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "2"]
+     + _curated_teachers("ensemble_best41.json")),
     # ---- round-4d: capacity FLIPS under distillation (h=399 student
     # 1.9160 vs the best h=199 student's 1.9645, both from the 41-member
     # mixture).  Push the lever to h=799 (direct training overfits to
