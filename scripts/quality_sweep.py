@@ -393,6 +393,34 @@ _curated_35_teachers = _curated_teachers
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # ---- round-4f: gen-2 distillation from the BIG-3 mixture.  The three
+    # h>199 students mix to 1.8418 (ensemble_big3.json) — a better teacher
+    # than the 41-member set (1.8973) at ~1/13th the in-graph teacher
+    # cost.  Students of a better mixture landed lower at every teacher
+    # upgrade so far (7-strong 1.9783 -> 35-curated 1.9645 -> 41 1.9160/
+    # 1.8778 at h399/h799).
+    ("h799-distill-big3-a50",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "3"]
+     + _curated_teachers("ensemble_big3.json")),
+    ("h399-distill-big3-a50",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "3"]
+     + _curated_teachers("ensemble_big3.json")),
+    ("h399-distill-best41-a50-s2-cont",
+     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h399-distill-best41-a50-s2.net"]
+     + _curated_teachers("ensemble_best41.json")),
     # ---- round-4e: the capacity ladder under the 41-teacher soft-target
     # mixture is monotone — 1.9645 (h=199) -> 1.9160 (h=399) -> 1.8778
     # (h=799) — while DIRECT training at these sizes overfits (2.22 /
@@ -441,14 +469,6 @@ PROBES[:0] = [
       "--stop-after", "6000000", "--snapshot-every", "500000",
       "--reload",
       "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
-     + _curated_teachers("ensemble_best41.json")),
-    ("h399-distill-best41-a50-s2-cont",
-     ["--hidden-size", "399", "--presynaptic-noise", "0.1",
-      "--ema-weight", "0.99999", "--multi-tap", "8",
-      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
-      "--stop-after", "6000000", "--snapshot-every", "500000",
-      "--reload",
-      "--filename", "artifacts/sweep/h399-distill-best41-a50-s2.net"]
      + _curated_teachers("ensemble_best41.json")),
     # round-4c: the h=399 student descends steeply through its 3M cutoff
     # (1.9182@2.36M, already below the mixture-of-teachers' half-way
