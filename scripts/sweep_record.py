@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Append an orphaned sweep leg's record to sweep.json.
+
+The driver-surgery pattern (CLAUDE.md) kills the sweep parent while its
+text-predict child keeps training; the child's result then never reaches
+sweep.json, and a relaunched driver would rerun the arm from scratch.
+This records it from the log exactly as quality_sweep.best_v_entropy
+would have:
+
+    python scripts/sweep_record.py h1599-distill-best41-a50 \
+        --note "leg completed orphaned (driver surgery)"
+
+Refuses to double-record a tag that already has a best_v_entropy, and
+refuses to record a leg whose process is still alive (pass --pid to
+check a specific one; by default it scans /tmp/leg.pid if present).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from quality_sweep import best_v_entropy  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("tag", help="sweep arm tag (log/net basename)")
+    p.add_argument("--workdir", default="artifacts/sweep")
+    p.add_argument("--note", default="leg completed orphaned "
+                   "(driver surgery); recorded from the log")
+    p.add_argument("--seconds", type=float, default=None,
+                   help="wall-clock if known (the driver normally "
+                   "records it; an orphan's is usually unknown)")
+    p.add_argument("--pid", type=int, default=None,
+                   help="refuse to record while this pid is alive "
+                   "(default: the pid in /tmp/leg.pid, if any)")
+    p.add_argument("--force", action="store_true",
+                   help="record even if the tag already has an entry "
+                   "(appends; the driver's done-set takes any truthy "
+                   "best_v_entropy, so duplicates are harmless but ugly)")
+    opt = p.parse_args(argv)
+
+    pid = opt.pid
+    if pid is None and os.path.exists("/tmp/leg.pid"):
+        try:
+            pid = int(open("/tmp/leg.pid").read().strip())
+        except ValueError:
+            pid = None
+    if pid is not None and pid_alive(pid):
+        print(f"pid {pid} is still alive — the leg has not finished; "
+              "refusing to record a partial result", file=sys.stderr)
+        return 1
+
+    workdir = os.path.join(REPO, opt.workdir) \
+        if not os.path.isabs(opt.workdir) else opt.workdir
+    record_path = os.path.join(workdir, "sweep.json")
+    log = os.path.join(workdir, f"{opt.tag}.log")
+    best, best_gen = best_v_entropy(log)
+    if best is None:
+        print(f"no v_entropy lines in {log}", file=sys.stderr)
+        return 1
+
+    state = json.load(open(record_path))
+    probes = state["probes"]
+    if not opt.force and any(
+            r["tag"] == opt.tag and r.get("best_v_entropy")
+            for r in probes):
+        print(f"tag {opt.tag} already recorded (use --force to append)",
+              file=sys.stderr)
+        return 1
+    rec = {"tag": opt.tag, "rc": 0, "best_v_entropy": best,
+           "best_at_gen": best_gen, "seconds": opt.seconds,
+           "note": opt.note}
+    probes.append(rec)
+    with open(record_path, "w") as f:
+        json.dump(state, f, indent=1)
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
