@@ -393,6 +393,36 @@ _curated_35_teachers = _curated_teachers
 # run them before the leftover exploration queue (the done-set skips
 # completed tags, so reordering is safe).
 PROBES[:0] = [
+    # ---- round-4g: the h=1599 student of the 41-member mixture tracked
+    # BELOW the record h=799 student at every checkpoint of its fresh
+    # leg (1.9205 vs 1.9366 at 600k, 1.9033 vs ~1.92 at 680k) — the
+    # capacity ladder under soft targets is still monotone.  Continue it
+    # (reload; the trend schedule exhausts a continuation ~2M gens after
+    # reload, so stop at 4M), and give the 1.8418 big-3 teacher a
+    # student at this capacity too.  A second h=799 big-3 seed feeds the
+    # strong-member mixture pool.
+    ("h1599-distill-best41-a50-cont",
+     ["--hidden-size", "1599", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "4000000", "--snapshot-every", "500000",
+      "--reload",
+      "--filename", "artifacts/sweep/h1599-distill-best41-a50.net"]
+     + _curated_teachers("ensemble_best41.json")),
+    ("h1599-distill-big3-a50",
+     ["--hidden-size", "1599", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "2000000", "--snapshot-every", "500000",
+      "--rng-seed", "3"]
+     + _curated_teachers("ensemble_big3.json")),
+    ("h799-distill-big3-a50-s4",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "4"]
+     + _curated_teachers("ensemble_big3.json")),
     # ---- round-4f: gen-2 distillation from the BIG-3 mixture.  The three
     # h>199 students mix to 1.8418 (ensemble_big3.json) — a better teacher
     # than the 41-member set (1.8973) at ~1/13th the in-graph teacher
