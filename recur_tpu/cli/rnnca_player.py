@@ -36,7 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--block", type=int, default=8,
                    help="CA frames per device call (step_ca_block): the "
                         "high-latency-link pipelining that makes 20 fps "
-                        "(1 = the per-frame path)")
+                        "(1 = the per-frame path).  Note the stasis check "
+                        "runs once per block, so a stuck CA can emit up "
+                        "to block-1 frozen frames before the restart "
+                        "(the reference checks per frame)")
     p.add_argument("--train-block", type=int, default=8,
                    help="training frame pairs per device call (1 = "
                         "per-frame)")

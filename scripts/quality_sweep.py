@@ -371,12 +371,27 @@ PROBES = [
 
 def _curated_teachers(artifact="ensemble_best35.json"):
     """The exact members of a committed mixture record as
-    --distill-from args."""
+    --distill-from args.
+
+    Raises instead of returning [] on a missing/corrupt artifact
+    (ADVICE r4: a silent [] made distill-tagged arms train PLAIN nets
+    and record them under a distill tag).  The queue is built at import
+    time, so a missing teacher mixture fails the driver launch loudly —
+    which is the desired behaviour: every artifact named here is a
+    committed record."""
     path = os.path.join(REPO, "artifacts/sweep", artifact)
     try:
         members = sorted(json.load(open(path))["per_net"])
-    except (OSError, ValueError, KeyError):
-        return []
+    except (OSError, ValueError, KeyError) as e:
+        raise RuntimeError(
+            f"distill teacher mixture {artifact} missing/unreadable "
+            f"({e!r}) — refusing to build a distill arm with no teachers")
+    missing = [m for m in members
+               if not os.path.exists(os.path.join(REPO, m))]
+    if missing:
+        raise RuntimeError(
+            f"distill teacher mixture {artifact} names missing nets: "
+            f"{missing}")
     return [x for m in members for x in ("--distill-from", m)]
 
 
@@ -630,6 +645,38 @@ def best_v_entropy(log_path: str):
     return best, best_gen
 
 
+def load_probes():
+    """Re-read the probe queue from this file on disk.
+
+    Round-4's driver24 skipped freshly queued arms because PROBES was
+    loaded once at launch (CLAUDE.md round-4 learnings); re-executing
+    the file at every leg boundary makes committed queue edits take
+    effect without driver surgery."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_quality_sweep_queue", os.path.abspath(__file__))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.PROBES
+
+
+def _read_results(record_path):
+    if os.path.exists(record_path):
+        return json.load(open(record_path)).get("probes", [])
+    return []
+
+
+def _write_results(record_path, opt, results):
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(record_path) or ".")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"generations": opt.generations,
+                   "multi_tap": opt.multi_tap,
+                   "learn_rate": opt.learn_rate,
+                   "probes": results}, f, indent=1)
+    os.replace(tmp, record_path)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="artifacts/sweep")
@@ -643,15 +690,26 @@ def main(argv=None) -> int:
 
     os.makedirs(opt.workdir, exist_ok=True)
     record_path = os.path.join(opt.workdir, "sweep.json")
-    results = []
-    if os.path.exists(record_path):
-        results = json.load(open(record_path)).get("probes", [])
-    done = {r["tag"] for r in results if r.get("best_v_entropy")}
     wanted = set(opt.probes.split(",")) if opt.probes else None
+    with open("/tmp/sweep.pid", "w") as f:
+        f.write(str(os.getpid()))
 
-    for tag, extra in PROBES:
-        if tag in done or (wanted is not None and tag not in wanted):
-            continue
+    while True:
+        # re-read queue AND done-set at every leg boundary: queue edits
+        # and out-of-band sweep_record.py appends both take effect
+        try:
+            probes = load_probes()
+        except Exception as e:
+            print(f"queue reload failed ({e!r}); keeping the last good "
+                  "queue", flush=True)
+            probes = PROBES
+        results = _read_results(record_path)
+        done = {r["tag"] for r in results if r.get("best_v_entropy")}
+        todo = [(t, x) for t, x in probes
+                if t not in done and (wanted is None or t in wanted)]
+        if not todo:
+            break
+        tag, extra = todo[0]
         log = os.path.join(opt.workdir, f"{tag}.log")
         cmd = [sys.executable, "-m", "recur_tpu.cli.text_predict",
                "--multi-tap", str(opt.multi_tap),
@@ -690,17 +748,16 @@ def main(argv=None) -> int:
                   flush=True)
             time.sleep(120)
         best, best_gen = best_v_entropy(log)
+        # re-read before appending: the leg ran for up to an hour and an
+        # out-of-band recorder (sweep_record.py) may have written meanwhile
+        results = _read_results(record_path)
         results.append({"tag": tag, "rc": rc,
                         "best_v_entropy": best, "best_at_gen": best_gen,
                         "seconds": round(time.time() - t0, 1)})
         print(f"sweep probe {tag}: best v_entropy {best} "
               f"at gen {best_gen}", flush=True)
-        with open(record_path, "w") as f:
-            json.dump({"generations": opt.generations,
-                       "multi_tap": opt.multi_tap,
-                       "learn_rate": opt.learn_rate,
-                       "probes": results}, f, indent=1)
-    print(json.dumps(results))
+        _write_results(record_path, opt, results)
+    print(json.dumps(_read_results(record_path)))
     return 0
 
 

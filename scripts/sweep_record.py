@@ -64,6 +64,18 @@ def main(argv=None) -> int:
         print(f"pid {pid} is still alive — the leg has not finished; "
               "refusing to record a partial result", file=sys.stderr)
         return 1
+    # ADVICE r4: also refuse while the sweep DRIVER is alive — it writes
+    # sweep.json after every leg and a concurrent append would be lost
+    if os.path.exists("/tmp/sweep.pid"):
+        try:
+            driver = int(open("/tmp/sweep.pid").read().strip())
+        except ValueError:
+            driver = None
+        if driver is not None and pid_alive(driver):
+            print(f"sweep driver pid {driver} is alive — it records its "
+                  "own legs and re-reads the done-set at each boundary; "
+                  "refusing to write concurrently", file=sys.stderr)
+            return 1
 
     workdir = os.path.join(REPO, opt.workdir) \
         if not os.path.isabs(opt.workdir) else opt.workdir
@@ -86,8 +98,11 @@ def main(argv=None) -> int:
            "best_at_gen": best_gen, "seconds": opt.seconds,
            "note": opt.note}
     probes.append(rec)
-    with open(record_path, "w") as f:
+    import tempfile  # atomic replace: a crash mid-write must not eat sweep.json
+    fd, tmp = tempfile.mkstemp(dir=workdir)
+    with os.fdopen(fd, "w") as f:
         json.dump(state, f, indent=1)
+    os.replace(tmp, record_path)
     print(json.dumps(rec))
     return 0
 

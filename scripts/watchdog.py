@@ -28,6 +28,11 @@ def run_watched(cmd, log_path: str, cwd=None, env=None,
     making no log progress."""
     proc = subprocess.Popen(cmd, cwd=cwd, env=env,
                             start_new_session=True)
+    try:  # let scripts/sweep_record.py refuse to record a live leg
+        with open("/tmp/leg.pid", "w") as f:
+            f.write(str(proc.pid))
+    except OSError:
+        pass
     t_start = time.time()
     last_size = -1
     last_change = t_start
