@@ -573,6 +573,72 @@ PROBES[:0] = [
 ]
 
 
+# ---- round-5 arms (VERDICT r4 next-steps #1/#6/#7).
+#
+# #1 second-corpus replication: corpus/pycorpus.txt (deterministic Python-
+# stdlib text, 471,659 bytes — scale-matched to erewhon) with the erewhon-
+# FROZEN record recipe (h=199, noise 0.1, slow EMA 0.99999, 8 taps,
+# lr 1.6e-4, 3M gens) — no retuning; the only corpus-specific flags are the
+# corpus path and alphabet discovery (--find-alphabet-threshold 1e-4, the
+# reference's own machinery for a new corpus, run identically on the
+# reference-binary control).  Four seeds = plain baseline + mixture
+# members; then the distill ladder (h199 -> h399 -> h799 students of the
+# 4-member mixture) checks the ordering student < ensemble-member <
+# reference control transfers.
+#
+# #6 schedule-limit test: reload the h=799 record (1.8778 at 1.37M, LR
+# floor-pinned by 2.95M) with a 10x lower trend floor AND slower decay —
+# either a new record (schedule-limited) or a committed flat negative
+# (data-limited).
+_PYC = ["--text", "corpus/pycorpus.txt", "--find-alphabet-threshold",
+        "1e-4"]
+_FROZEN = ["--hidden-size", "199", "--presynaptic-noise", "0.1",
+           "--ema-weight", "0.99999", "--multi-tap", "8",
+           "--learn-rate", "1.6e-4", "--stop-after", "3000000",
+           "--snapshot-every", "500000"]
+_PYC_TEACHERS = [x for s in ("", "-s2", "-s3", "-s4")
+                 for x in ("--distill-from",
+                           f"artifacts/sweep/pyc-h199-t8-slow{s}.net.best")]
+PROBES[:0] = [
+    ("pyc-h199-t8-slow", _PYC + _FROZEN),
+    # VERDICT #7: the big-3 mixture (1.8418) distilled into one h=799 net
+    # (same args as the round-4g entry below; re-specified here to run
+    # early — first duplicate tag wins, the done-set keeps them single)
+    ("h799-distill-big3-a50",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "3000000", "--snapshot-every", "500000",
+      "--rng-seed", "3"]
+     + _curated_teachers("ensemble_big3.json")),
+    ("pyc-h199-t8-slow-s2", _PYC + _FROZEN + ["--rng-seed", "2"]),
+    ("pyc-h199-t8-slow-s3", _PYC + _FROZEN + ["--rng-seed", "3"]),
+    ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
+    # VERDICT #6: is 1.8778 schedule-limited?  Continue the record from
+    # its .best with floor 1e-8 (10x lower) and decay 0.8 (vs 0.5)
+    ("h799-distill-best41-a50-floor",
+     ["--hidden-size", "799", "--presynaptic-noise", "0.1",
+      "--ema-weight", "0.99999", "--multi-tap", "8",
+      "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
+      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--learn-rate-min", "1e-8", "--learn-rate-scale", "0.8",
+      "--reload",
+      "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
+     + _curated_teachers("ensemble_best41.json")),
+    # pycorpus distill ladder: students of the 4-member pyc mixture at the
+    # erewhon-frozen recipe (alpha 0.5 / 8 taps / slow EMA)
+    ("pyc-h199-distill-a50",
+     _PYC + _FROZEN + ["--distill-alpha", "0.5"] + _PYC_TEACHERS),
+    ("pyc-h399-distill-a50",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "399",
+                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
+    ("pyc-h799-distill-a50",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "799",
+                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
+]
+
+
+
 def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
                  max_wait: float = 14400.0) -> bool:
     """Block until a trivial axon computation succeeds in a fresh process.
