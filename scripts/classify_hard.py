@@ -122,37 +122,62 @@ def make_corpus(d, tag, n_per_class, seconds, snr_db, rng,
 
 def run_arm(train, test, timings, cycles, channels, seed, lag=0.0,
             balance=0.0, error_weight=None, lr=2e-4, track_curve=False,
-            workdir=None):
+            workdir=None, noise=0.1, lr_decay=0.9, max_reinits=2):
+    """One training run with the reference's own stabilisation levers
+    (VERDICT r4 #5):
+
+    * presynaptic noise 0.1 during training (the py-recur-text default,
+      py-recur-text.c:437-445) — without it, low-SNR training found its
+      0.98-AUC optimum and then destabilised to 0.64 in later cycles;
+    * lr decay 0.9/cycle (was 0.95) for the same late-cycle stability;
+    * dead-seed detection + re-init: an init still at chance after two
+      cycles never recovers (observed 1-in-6 seeds pinned at AUC~0.498
+      through all 8 cycles).  Retry on a shifted seed with
+      rnn_scale_initial_weights to forward gain 1.0 (recur-nn.c:1027-1076,
+      the option's own help text says "try ~1.0")."""
     from recur_tpu.audio.classify import AudioClassifier
     from recur_tpu.audio.trainer import (Trainer,
                                          estimate_feature_normalisation)
     d = workdir or tempfile.mkdtemp(prefix="classify_hard_")
-    clf = AudioClassifier(classes="ab", n_channels=channels,
-                          window_size=256, hidden_size=199,
-                          learn_rate=lr, rng_seed=seed, activation=2,
-                          delta_features=1, intensity_feature=1,
-                          lag=lag, balanced_training_bias=balance,
-                          error_weight=error_weight,
-                          net_filename=os.path.join(d, "hard.net"),
-                          log_file=None)
-    estimate_feature_normalisation(clf, train[:8])
-    tr = Trainer(clf, train, test, seed=seed, verbose=False,
-                 files_per_epoch=max(len(train) // 2, channels),
-                 lr_decay=0.95, timings=timings or None)
-    curve = []
-    result, best = {}, None
-    for _ in range(cycles):
-        tr.train_epoch()
-        result = tr.test_epoch()
-        curve.append(round(result["auc"], 4))
-        if best is None or result["auc"] > best["auc"]:
-            best = result
+    reinits = 0
+    for attempt in range(1 + max_reinits):
+        clf = AudioClassifier(classes="ab", n_channels=channels,
+                              window_size=256, hidden_size=199,
+                              learn_rate=lr,
+                              rng_seed=seed + 1000 * attempt, activation=2,
+                              presynaptic_noise=noise,
+                              delta_features=1, intensity_feature=1,
+                              lag=lag, balanced_training_bias=balance,
+                              error_weight=error_weight,
+                              weight_init_scale=(1.0 if attempt else 0.0),
+                              net_filename=os.path.join(
+                                  d, f"hard{attempt}.net"),
+                              log_file=None)
+        estimate_feature_normalisation(clf, train[:8])
+        tr = Trainer(clf, train, test, seed=seed, verbose=False,
+                     files_per_epoch=max(len(train) // 2, channels),
+                     lr_decay=lr_decay, timings=timings or None)
+        curve = []
+        result, best, dead = {}, None, False
+        for c in range(cycles):
+            tr.train_epoch()
+            result = tr.test_epoch()
+            curve.append(round(result["auc"], 4))
+            if best is None or result["auc"] > best["auc"]:
+                best = result
+            if c == 1 and best["auc"] < 0.6 and attempt < max_reinits:
+                dead = True
+                break
+        if not dead:
+            break
+        reinits += 1
     # report the BEST cycle (the reference protocol: classify.py's
     # decaying-record auto-save deploys the best net seen, not the last)
     out = {"auc": round(best["auc"], 4),
            "accuracy": round(best["accuracy"], 4),
            "xe_bits": round(float(best["xe_bits"]), 3),
-           "final_auc": round(result["auc"], 4)}
+           "final_auc": round(result["auc"], 4),
+           "reinits": reinits}
     if track_curve:
         out["auc_per_cycle"] = curve
     return out
@@ -167,9 +192,13 @@ def run_arm_seeds(mk_corpus, cycles, channels, seeds, **kw):
         train, test, tm = mk_corpus(s)
         per_seed.append(run_arm(train, test, tm, cycles, channels, s, **kw))
     return {"auc": round(float(np.mean([r["auc"] for r in per_seed])), 4),
+            "final_auc": round(float(np.mean([r["final_auc"]
+                                              for r in per_seed])), 4),
             "xe_bits": round(float(np.mean([r["xe_bits"]
                                             for r in per_seed])), 3),
-            "auc_per_seed": [r["auc"] for r in per_seed]}
+            "auc_per_seed": [r["auc"] for r in per_seed],
+            "final_per_seed": [r["final_auc"] for r in per_seed],
+            "reinits": int(sum(r["reinits"] for r in per_seed))}
 
 
 def main(argv=None):
@@ -225,23 +254,29 @@ def main(argv=None):
                                           track_curve=True)
         print("budget:", results["budget_curve"], flush=True)
 
+    seeds = (opt.seed,) if opt.smoke else tuple(
+        opt.seed + i for i in range(opt.n_seeds))
+
     if "snr" in sections:
         # downward from base: the +6..+12 dB side measured flat-to-better
         # (noise regularises, like presynaptic noise on the char pillar);
-        # the interesting wall is below
+        # the interesting wall is below.  Seed-averaged (VERDICT r4 #5:
+        # the round-4 single-seed sweep was non-monotone — 0.98/0.79/0.98
+        # — which was draw variance, not physics; every seed gets its own
+        # corpus draw AND net init).
         snrs = (0.0,) if opt.smoke else (opt.base_snr, opt.base_snr - 6.0,
                                          opt.base_snr - 12.0)
         results["snr_sweep"] = {}
         for snr in snrs:
-            tr_f, te_f, _ = make_corpus(d, f"snr{int(snr)}", npc, seconds,
-                                        snr, rng)
-            results["snr_sweep"][f"{snr:+.0f}dB"] = run_arm(
-                tr_f, te_f, None, cycles, channels, opt.seed, lr=opt.lr)
+            def snr_corpus(s, snr=snr):
+                r = np.random.default_rng(3000 + 17 * int(snr) + s)
+                tr_f, te_f, _ = make_corpus(d, f"snr{int(snr)}s{s}", npc,
+                                            seconds, snr, r)
+                return tr_f, te_f, None
+            results["snr_sweep"][f"{snr:+.0f}dB"] = run_arm_seeds(
+                snr_corpus, cycles, channels, seeds, lr=opt.lr)
             print(f"snr {snr:+.0f}:",
                   results["snr_sweep"][f"{snr:+.0f}dB"], flush=True)
-
-    seeds = (opt.seed,) if opt.smoke else tuple(
-        opt.seed + i for i in range(opt.n_seeds))
 
     if "imbalance" in sections:
         def imb_corpus(s):
