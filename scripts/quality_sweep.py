@@ -670,6 +670,36 @@ def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
     return False
 
 
+def maybe_resume(cmd, repo=REPO):
+    """Continue a previous attempt of this tag instead of restarting at
+    generation 0 (round-5: a watchdog-killed pyc leg restarted fresh and
+    threw away 1.8M generations; only the .best sidecar survived because
+    the fresh net overwrote the .net).
+
+    For arms without --reload: if the tag's net file (or its committed
+    .best snapshot) exists, append --reload (copying .best in if needed).
+    A completed tag never reaches here (the done-set skips it), so an
+    existing artifact always means an interrupted attempt.  Arms that
+    already carry --reload keep the seed_reload_target behaviour.
+    Returns a description of the resume source, or None."""
+    idxs = [i for i, a in enumerate(cmd) if a == "--filename"]
+    if not idxs or idxs[-1] + 1 >= len(cmd):
+        return None
+    target = cmd[idxs[-1] + 1]
+    tpath = os.path.join(repo, target)
+    if "--reload" in cmd:
+        return seed_reload_target(cmd, repo)
+    if os.path.exists(tpath):
+        cmd.append("--reload")
+        return target
+    if os.path.exists(tpath + ".best"):
+        import shutil
+        shutil.copyfile(tpath + ".best", tpath)
+        cmd.append("--reload")
+        return target + ".best"
+    return None
+
+
 def seed_reload_target(cmd, repo=REPO):
     """If a --reload arm's target net is missing but its .best snapshot
     exists, copy the snapshot in so the leg continues from the committed
@@ -788,10 +818,6 @@ def main(argv=None) -> int:
                "--stop-after", str(opt.generations),
                "--filename", os.path.join(opt.workdir, f"{tag}.net"),
                "--log-file", log, "--quiet"] + extra + opt.extra
-        seeded = seed_reload_target(cmd)
-        if seeded:
-            print(f"sweep probe {tag}: reload target missing; "
-                  f"seeded from {seeded}", flush=True)
         t0 = time.time()
         print(f"sweep probe {tag}: {' '.join(extra)}", flush=True)
         # stall watchdog: a wedged tunnel hangs a fresh process forever
@@ -805,7 +831,15 @@ def main(argv=None) -> int:
                 print(f"sweep probe {tag}: tpu never came back; giving up",
                       flush=True)
                 break
-            rc = run_watched(cmd, log, cwd=REPO)
+            # per-attempt resume: attempt 0 may continue an interrupted
+            # previous session's artifact; later attempts continue this
+            # leg's own saves instead of restarting at generation 0
+            attempt_cmd = list(cmd)
+            src = maybe_resume(attempt_cmd)
+            if src:
+                print(f"sweep probe {tag}: resuming from {src}",
+                      flush=True)
+            rc = run_watched(attempt_cmd, log, cwd=REPO)
             if rc == 0:
                 break
             kind = "stalled" if rc == STALLED else f"died rc={rc}"
