@@ -596,9 +596,16 @@ _FROZEN = ["--hidden-size", "199", "--presynaptic-noise", "0.1",
            "--ema-weight", "0.99999", "--multi-tap", "8",
            "--learn-rate", "1.6e-4", "--stop-after", "3000000",
            "--snapshot-every", "500000"]
-_PYC_TEACHERS = [x for s in ("", "-s2", "-s3", "-s4")
-                 for x in ("--distill-from",
-                           f"artifacts/sweep/pyc-h199-t8-slow{s}.net.best")]
+# dynamic: the queue re-executes at every leg boundary, so this picks up
+# whichever seed .bests exist by the time a student arm launches (the
+# wanted-order guarantees at least the base seed does; a cut s4 must not
+# become a missing --distill-from crash)
+_PYC_TEACHERS = [
+    x for s in ("", "-s2", "-s3", "-s4")
+    if os.path.exists(os.path.join(
+        REPO, f"artifacts/sweep/pyc-h199-t8-slow{s}.net.best"))
+    for x in ("--distill-from",
+              f"artifacts/sweep/pyc-h199-t8-slow{s}.net.best")]
 PROBES[:0] = [
     ("pyc-h199-t8-slow", _PYC + _FROZEN),
     # VERDICT #7: the big-3 mixture (1.8418) distilled into one h=799 net
@@ -620,7 +627,7 @@ PROBES[:0] = [
      ["--hidden-size", "799", "--presynaptic-noise", "0.1",
       "--ema-weight", "0.99999", "--multi-tap", "8",
       "--learn-rate", "1.6e-4", "--distill-alpha", "0.5",
-      "--stop-after", "6000000", "--snapshot-every", "500000",
+      "--stop-after", "4500000", "--snapshot-every", "500000",
       "--learn-rate-min", "1e-8", "--learn-rate-scale", "0.8",
       "--reload",
       "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
