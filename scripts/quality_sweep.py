@@ -620,7 +620,19 @@ PROBES[:0] = [
      + _curated_teachers("ensemble_big3.json")),
     ("pyc-h199-t8-slow-s2", _PYC + _FROZEN + ["--rng-seed", "2"]),
     ("pyc-h199-t8-slow-s3", _PYC + _FROZEN + ["--rng-seed", "3"]),
-    ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
+    # pycorpus distill ladder: students of the pyc seed mixture at the
+    # erewhon-frozen recipe (alpha 0.5 / 8 taps / slow EMA).  Ordered
+    # BEFORE the floor arm and the 4th seed: with ~6.5h of round left at
+    # 01:00, the ladder (VERDICT #1's "Done=") must land; the floor arm
+    # (#6) and s4 are the first cuts if the clock wins.
+    ("pyc-h199-distill-a50",
+     _PYC + _FROZEN + ["--distill-alpha", "0.5"] + _PYC_TEACHERS),
+    ("pyc-h399-distill-a50",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "399",
+                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
+    ("pyc-h799-distill-a50",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "799",
+                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
     # VERDICT #6: is 1.8778 schedule-limited?  Continue the record from
     # its .best with floor 1e-8 (10x lower) and decay 0.8 (vs 0.5)
     ("h799-distill-best41-a50-floor",
@@ -632,16 +644,7 @@ PROBES[:0] = [
       "--reload",
       "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
      + _curated_teachers("ensemble_best41.json")),
-    # pycorpus distill ladder: students of the 4-member pyc mixture at the
-    # erewhon-frozen recipe (alpha 0.5 / 8 taps / slow EMA)
-    ("pyc-h199-distill-a50",
-     _PYC + _FROZEN + ["--distill-alpha", "0.5"] + _PYC_TEACHERS),
-    ("pyc-h399-distill-a50",
-     _PYC + _FROZEN[2:] + ["--hidden-size", "399",
-                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
-    ("pyc-h799-distill-a50",
-     _PYC + _FROZEN[2:] + ["--hidden-size", "799",
-                           "--distill-alpha", "0.5"] + _PYC_TEACHERS),
+    ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
 ]
 
 
