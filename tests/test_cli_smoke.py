@@ -385,3 +385,38 @@ def test_sweep_driver_seeds_lost_reload_target(tmp_path):
     assert seed_reload_target(["--filename", "tag.net", "--reload"],
                               repo=str(tmp_path)) == "tag.net.best"
     assert target2.read_bytes() == b"w2"
+
+
+def test_sweep_driver_resumes_interrupted_leg(tmp_path):
+    """maybe_resume (round 5): a non-reload arm whose tag artifact exists
+    continues it with --reload instead of restarting at generation 0 (a
+    watchdog-killed pyc leg restarted fresh and threw away 1.8M gens)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from quality_sweep import maybe_resume
+    finally:
+        sys.path.pop(0)
+    # no artifact: fresh start, cmd untouched
+    cmd = ["--filename", "arm.net"]
+    assert maybe_resume(cmd, repo=str(tmp_path)) is None
+    assert cmd == ["--filename", "arm.net"]
+    # interrupted attempt left the .net: resume it in place
+    (tmp_path / "arm.net").write_bytes(b"mid-leg")
+    cmd = ["--filename", "arm.net"]
+    assert maybe_resume(cmd, repo=str(tmp_path)) == "arm.net"
+    assert cmd[-1] == "--reload"
+    # only the .best snapshot survived (fresh session): copy it in
+    (tmp_path / "arm.net").unlink()
+    (tmp_path / "arm.net.best").write_bytes(b"record")
+    cmd = ["--filename", "arm.net"]
+    assert maybe_resume(cmd, repo=str(tmp_path)) == "arm.net.best"
+    assert cmd[-1] == "--reload"
+    assert (tmp_path / "arm.net").read_bytes() == b"record"
+    # arms that already carry --reload keep seed_reload_target semantics
+    (tmp_path / "arm.net").unlink()
+    cmd = ["--reload", "--filename", "arm.net"]
+    assert maybe_resume(cmd, repo=str(tmp_path)) == "arm.net.best"
+    assert cmd.count("--reload") == 1
+    # malformed --filename tail must not crash the driver
+    assert maybe_resume(["--filename"], repo=str(tmp_path)) is None
+    assert maybe_resume([], repo=str(tmp_path)) is None
