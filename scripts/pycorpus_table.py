@@ -50,7 +50,7 @@ def main():
                        "text, 471659 bytes; scripts/make_pycorpus.py)",
              "protocol": "erewhon-frozen recipe, no retuning: h=199 "
                          "noise 0.1, EMA 0.99999, 8 taps, lr 1.6e-4, 3M "
-                         "gens; students alpha=0.5 from the 4-seed "
+                         "gens; students alpha=0.5 from the 3-seed "
                          "mixture; --find-alphabet-threshold 1e-4 both "
                          "sides; validation = last 10k chars",
              "reference_control": ref_controls(),

@@ -647,6 +647,21 @@ PROBES[:0] = [
     ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
 ]
 
+# ---- round-5 endgame gate: everything below the round-5 arms is round-4
+# leftover exploration (2h+ legs at this point in the round).  Truncate
+# the queue to the must-land arms so the driver EXITS at the next leg
+# boundary instead of starting a leftover leg — the surgery window
+# (stabilised classify_hard run, pyc/big-4 ensemble evals, reference-
+# binary cross-check, test-suite refresh) needs the TPU and the one CPU.
+# s4 is the first clock cut (3 plain seeds already feed the mixture and
+# the replication table).  To run an endgame filler leg afterwards,
+# relaunch with --probes <tag> after widening this keep-set.
+_R5_KEEP = {
+    "pyc-h799-distill-a50",
+    "h799-distill-best41-a50-floor",
+}
+PROBES[:] = [(t, a) for t, a in PROBES if t in _R5_KEEP]
+
 
 
 def wait_for_tpu(probe_timeout: float = 300.0, interval: float = 120.0,
