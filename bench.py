@@ -32,6 +32,11 @@ def quality_records():
     entropy, README.md:105-107)."""
     best_single, best_single_src = None, None
     for f in glob.glob(os.path.join(REPO, "artifacts/sweep/*.best.json")):
+        # pyc-* nets score a DIFFERENT corpus (the round-5 replication);
+        # mixing them in here would misreport e.g. the pyc h=399
+        # student's 1.799 as an erewhon record
+        if os.path.basename(f).startswith("pyc-"):
+            continue
         try:
             v = json.load(open(f)).get("v_entropy")
         except Exception:
@@ -40,6 +45,8 @@ def quality_records():
             best_single, best_single_src = v, os.path.basename(f)
     best_mix, best_mix_src = None, None
     for f in glob.glob(os.path.join(REPO, "artifacts/sweep/ensemble*.json")):
+        if os.path.basename(f).startswith("ensemble_pyc"):
+            continue
         try:
             v = json.load(open(f)).get("ensemble_mixture")
         except Exception:
@@ -48,7 +55,26 @@ def quality_records():
             best_mix, best_mix_src = v, os.path.basename(f)
     if best_single is None and best_mix is None:
         return None
+    second = None
+    rep = os.path.join(REPO, "artifacts/ref_pycorpus/replication.json")
+    if os.path.exists(rep):
+        try:
+            t = json.load(open(rep))
+            o = t.get("ordering", {})
+            second = {
+                "corpus": "pycorpus (never-tuned, erewhon-frozen recipe)",
+                "best_student": (min(o["students"].values())
+                                 if o.get("students") else None),
+                "reference_defaults_control":
+                    o.get("reference_defaults_control"),
+                "reference_generous_control":
+                    o.get("reference_generous_control"),
+                "ordering_holds": o.get("holds_vs_defaults_control"),
+            }
+        except Exception:
+            second = None
     return {
+        "second_corpus": second,
         "best_single_net_v_entropy": best_single,
         "best_single_net_artifact": best_single_src,
         "best_ensemble_v_entropy": best_mix,
@@ -396,6 +422,7 @@ def main():
             "best_ensemble_v_entropy": q.get("best_ensemble_v_entropy"),
             "reference_binary_best_v_entropy":
                 q.get("reference_binary_best_v_entropy"),
+            "second_corpus": q.get("second_corpus"),
             "rnnca_vs_budget": rt.get("rnnca_vs_budget"),
             "recur_vs_budget": rt.get("recur_vs_budget"),
             "parrot_x_realtime": rt.get("parrot_x_realtime"),
