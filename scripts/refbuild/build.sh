@@ -17,5 +17,14 @@ for f in opt parse helpers usage; do
 done
 gcc $CFLAGS -c mini_cdb.c -o mini_cdb.o
 gcc -o text-predict *.o -lm
+# text-cross-entropy: scores text with a loaded net — used to prove the
+# reference's OWN loader+forward reads our student .best nets and
+# reproduces their validation quality (format-compliance cross-check)
+for f in text-cross-entropy colour; do
+  gcc $CFLAGS -c "$REF/$f.c" -o "$f.o"
+done
+gcc -o text-cross-entropy text-cross-entropy.o colour.o charmodel-init.o \
+    charmodel-predict.o recur-nn.o recur-nn-io.o recur-nn-init.o \
+    mini_cdb.o opt_opt.o opt_parse.o opt_helpers.o opt_usage.o -lm
 mkdir -p nets images
-echo "built $OUT/text-predict"
+echo "built $OUT/text-predict and $OUT/text-cross-entropy"
