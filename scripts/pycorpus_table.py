@@ -58,7 +58,7 @@ def main():
     ens = os.path.join(REPO, "artifacts/sweep/ensemble_pyc.json")
     if os.path.exists(ens):
         e = json.load(open(ens))
-        table["mixture"] = {"score": e.get("ensemble"),
+        table["mixture"] = {"score": e.get("ensemble_mixture"),
                             "members": len(e.get("per_net", {}))}
     ctl = table["reference_control"]
     ref_likeforlike = (ctl.get("defaults") or {}).get("best")
