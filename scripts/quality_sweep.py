@@ -644,6 +644,17 @@ PROBES[:0] = [
       "--reload",
       "--filename", "artifacts/sweep/h799-distill-best41-a50.net"]
      + _curated_teachers("ensemble_best41.json")),
+    # round-5 slack: the pyc h=799 student descends through 1.7608 at
+    # 1.77M — continue past its 3M cutoff exactly as the erewhon
+    # students were (reload + fresh LR runway; the trend schedule
+    # exhausts ~2M gens after reload, so 6M is ample budget)
+    ("pyc-h799-distill-a50-cont",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "799",
+                           "--distill-alpha", "0.5",
+                           "--stop-after", "6000000", "--reload",
+                           "--filename",
+                           "artifacts/sweep/pyc-h799-distill-a50.net"]
+     + _PYC_TEACHERS),
     ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
 ]
 
@@ -659,6 +670,7 @@ PROBES[:0] = [
 _R5_KEEP = {
     "pyc-h799-distill-a50",
     "h799-distill-best41-a50-floor",
+    "pyc-h799-distill-a50-cont",
 }
 PROBES[:] = [(t, a) for t, a in PROBES if t in _R5_KEEP]
 
