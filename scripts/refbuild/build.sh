@@ -5,9 +5,11 @@
 set -e
 REF=${REF:-/root/reference}
 OUT=${OUT:-/tmp/refbuild}
+HERE=$(cd "$(dirname "$0")" && pwd)   # resolve before the cd below
 mkdir -p "$OUT" && cd "$OUT"
-cp "$(dirname "$0")"/cdb.h "$(dirname "$0")"/mini_cdb.c \
-   "$(dirname "$0")"/config.h "$(dirname "$0")"/path.h . 2>/dev/null || true
+cp "$HERE"/cdb.h "$HERE"/mini_cdb.c \
+   "$HERE"/config.h "$HERE"/path.h \
+   "$HERE"/colour-spectrum.h .
 CFLAGS="-O3 -march=native -ffast-math -std=gnu11 -fcommon -D_GNU_SOURCE -I. -I$REF -I$REF/ccan/opt -I$REF/ccan"
 for f in recur-nn recur-nn-io recur-nn-init charmodel-predict charmodel-init text-predict; do
   gcc $CFLAGS -c "$REF/$f.c" -o "$f.o"
