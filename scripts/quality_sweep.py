@@ -656,6 +656,16 @@ PROBES[:0] = [
                            "artifacts/sweep/pyc-h799-distill-a50.net"]
      + _PYC_TEACHERS),
     ("pyc-h199-t8-slow-s4", _PYC + _FROZEN + ["--rng-seed", "4"]),
+    # round-5 slack #2: the pyc ladder's 4th rung.  The erewhon ladder
+    # flattened at h=1599 (1.8754 vs h799's 1.8778); the pyc rungs are
+    # BIGGER (1.9280 -> 1.7990 -> 1.7507), so the flatten point is an
+    # open question there.  Frozen recipe, same 3-seed teachers; 2.5M
+    # cutoff sized to land inside the round (snapshots every 500k make
+    # even a clock-kill recordable)
+    ("pyc-h1599-distill-a50",
+     _PYC + _FROZEN[2:] + ["--hidden-size", "1599",
+                           "--distill-alpha", "0.5",
+                           "--stop-after", "2500000"] + _PYC_TEACHERS),
 ]
 
 # ---- round-5 endgame gate: everything below the round-5 arms is round-4
@@ -671,6 +681,7 @@ _R5_KEEP = {
     "pyc-h799-distill-a50",
     "h799-distill-best41-a50-floor",
     "pyc-h799-distill-a50-cont",
+    "pyc-h1599-distill-a50",
 }
 PROBES[:] = [(t, a) for t, a in PROBES if t in _R5_KEEP]
 
