@@ -73,6 +73,17 @@ def quality_records():
             }
         except Exception:
             second = None
+    crosscheck = None
+    xc = os.path.join(REPO, "artifacts/ref_crosscheck/crosscheck.json")
+    if os.path.exists(xc):
+        try:
+            rows = json.load(open(xc))["rows"]
+            deltas = [abs(r["delta"]) for r in rows if "delta" in r]
+            crosscheck = {"nets_scored_by_reference_binary": len(rows),
+                          "max_abs_delta_bits": max(deltas) if deltas
+                          else None}
+        except Exception:
+            crosscheck = None
     return {
         "second_corpus": second,
         "best_single_net_v_entropy": best_single,
@@ -80,6 +91,7 @@ def quality_records():
         "best_ensemble_v_entropy": best_mix,
         "best_ensemble_artifact": best_mix_src,
         "reference_binary_best_v_entropy": 2.3185,
+        "reference_binary_crosscheck": crosscheck,
         "unit": "bits/char on erewhon validation (10k chars, warm lap)",
     }
 
