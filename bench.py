@@ -116,7 +116,7 @@ def realtime_records():
 
 def classify_hard_records():
     """Latest committed hard-classify evaluation (scripts/classify_hard.py
-    — the task that can fail: same-band AM-rate discrimination)."""
+    — the task that can fail: same-band chirp-direction discrimination)."""
     f = os.path.join(REPO, "artifacts/classify_hard/results.json")
     try:
         return json.load(open(f))
