@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     p.add_argument("--pid", type=int, default=None,
                    help="refuse to record while this pid is alive "
                    "(default: the pid in /tmp/leg.pid, if any)")
+    p.add_argument("--sweep-pid-file", default="/tmp/sweep.pid",
+                   help="refuse to record while the driver pid written "
+                   "here is alive (it owns sweep.json between legs)")
     p.add_argument("--force", action="store_true",
                    help="record even if the tag already has an entry "
                    "(appends; the driver's done-set takes any truthy "
@@ -66,9 +69,9 @@ def main(argv=None) -> int:
         return 1
     # ADVICE r4: also refuse while the sweep DRIVER is alive — it writes
     # sweep.json after every leg and a concurrent append would be lost
-    if os.path.exists("/tmp/sweep.pid"):
+    if os.path.exists(opt.sweep_pid_file):
         try:
-            driver = int(open("/tmp/sweep.pid").read().strip())
+            driver = int(open(opt.sweep_pid_file).read().strip())
         except ValueError:
             driver = None
         if driver is not None and pid_alive(driver):

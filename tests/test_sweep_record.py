@@ -32,6 +32,13 @@ def dead_pid() -> int:
     return p.pid
 
 
+def record(args, workdir):
+    """Run sweep_record.main isolated from the real /tmp/sweep.pid (a
+    live driver on the box must not fail the suite)."""
+    return sweep_record.main(
+        args + ["--sweep-pid-file", str(workdir / "no-driver.pid")])
+
+
 @pytest.fixture
 def workdir(tmp_path):
     (tmp_path / "sweep.json").write_text(json.dumps(
@@ -43,9 +50,9 @@ def workdir(tmp_path):
 
 
 def test_records_best_from_log(workdir):
-    rc = sweep_record.main(["fresh-arm", "--workdir", str(workdir),
-                            "--pid", str(dead_pid()),
-                            "--note", "test"])
+    rc = record(["fresh-arm", "--workdir", str(workdir),
+                 "--pid", str(dead_pid()),
+                 "--note", "test"], workdir)
     assert rc == 0
     probes = json.load(open(workdir / "sweep.json"))["probes"]
     rec = probes[-1]
@@ -58,26 +65,43 @@ def test_records_best_from_log(workdir):
 
 def test_refuses_double_record(workdir):
     pid = str(dead_pid())
-    assert sweep_record.main(
-        ["fresh-arm", "--workdir", str(workdir), "--pid", pid]) == 0
-    assert sweep_record.main(
-        ["fresh-arm", "--workdir", str(workdir), "--pid", pid]) == 1
+    assert record(
+        ["fresh-arm", "--workdir", str(workdir), "--pid", pid],
+        workdir) == 0
+    assert record(
+        ["fresh-arm", "--workdir", str(workdir), "--pid", pid],
+        workdir) == 1
     probes = json.load(open(workdir / "sweep.json"))["probes"]
     assert sum(r["tag"] == "fresh-arm" for r in probes) == 1
     # --force appends anyway
-    assert sweep_record.main(["fresh-arm", "--workdir", str(workdir),
-                              "--pid", pid, "--force"]) == 0
+    assert record(["fresh-arm", "--workdir", str(workdir),
+                   "--pid", pid, "--force"], workdir) == 0
     probes = json.load(open(workdir / "sweep.json"))["probes"]
     assert sum(r["tag"] == "fresh-arm" for r in probes) == 2
 
 
 def test_refuses_while_leg_alive(workdir):
-    assert sweep_record.main(["fresh-arm", "--workdir", str(workdir),
-                              "--pid", str(os.getpid())]) == 1
+    assert record(["fresh-arm", "--workdir", str(workdir),
+                   "--pid", str(os.getpid())], workdir) == 1
     probes = json.load(open(workdir / "sweep.json"))["probes"]
     assert all(r["tag"] != "fresh-arm" for r in probes)
 
 
+def test_refuses_while_driver_alive(workdir):
+    pidfile = workdir / "driver.pid"
+    pidfile.write_text(str(os.getpid()))
+    assert sweep_record.main(
+        ["fresh-arm", "--workdir", str(workdir),
+         "--pid", str(dead_pid()),
+         "--sweep-pid-file", str(pidfile)]) == 1
+    # a dead driver pid unblocks recording
+    pidfile.write_text(str(dead_pid()))
+    assert sweep_record.main(
+        ["fresh-arm", "--workdir", str(workdir),
+         "--pid", str(dead_pid()),
+         "--sweep-pid-file", str(pidfile)]) == 0
+
+
 def test_missing_log_is_an_error(workdir):
-    assert sweep_record.main(["no-such-arm", "--workdir", str(workdir),
-                              "--pid", str(dead_pid())]) == 1
+    assert record(["no-such-arm", "--workdir", str(workdir),
+                   "--pid", str(dead_pid())], workdir) == 1
