@@ -70,6 +70,8 @@ def quality_records():
                 "reference_generous_control":
                     o.get("reference_generous_control"),
                 "ordering_holds": o.get("holds_vs_defaults_control"),
+                "students_mixture":
+                    (t.get("students_mixture") or {}).get("score"),
             }
         except Exception:
             second = None

@@ -60,6 +60,15 @@ def main():
         e = json.load(open(ens))
         table["mixture"] = {"score": e.get("ensemble_mixture"),
                             "members": len(e.get("per_net", {}))}
+    # the erewhon big-3 analog: the students alone vs the wide mixture
+    # (round-4 learning: when members are unequal, wide dilutes)
+    for name, key in (("ensemble_students3.json", "students_mixture"),
+                      ("ensemble_wide6.json", "wide_mixture")):
+        path = os.path.join(REPO, "artifacts/ref_pycorpus", name)
+        if os.path.exists(path):
+            e = json.load(open(path))
+            table[key] = {"score": e.get("ensemble_mixture"),
+                          "members": len(e.get("per_net", {}))}
     ctl = table["reference_control"]
     ref_likeforlike = (ctl.get("defaults") or {}).get("best")
     ref_generous = min((v["best"] for v in ctl.values()), default=None)
@@ -87,6 +96,13 @@ def main():
             students and ref_generous
             and min(students.values()) < ref_generous),
     }
+    smix = (table.get("students_mixture") or {}).get("score")
+    wmix = (table.get("wide_mixture") or {}).get("score")
+    if smix and students:
+        table["ordering"]["students_mixture_beats_best_solo"] = \
+            smix < min(students.values())
+    if smix and wmix:
+        table["ordering"]["wide_mixture_dilutes"] = wmix > smix
     out = os.path.join(REPO, "artifacts/ref_pycorpus/replication.json")
     with open(out, "w") as f:
         json.dump(table, f, indent=1)

@@ -49,6 +49,11 @@ def table(tmp_path, monkeypatch):
     ]}))
     (sweep / "ensemble_pyc.json").write_text(json.dumps(
         {"ensemble_mixture": 1.9044, "per_net": {"a": 1, "b": 2, "c": 3}}))
+    (ref / "ensemble_students3.json").write_text(json.dumps(
+        {"ensemble_mixture": 1.7193, "per_net": {"a": 1, "b": 2, "c": 3}}))
+    (ref / "ensemble_wide6.json").write_text(json.dumps(
+        {"ensemble_mixture": 1.7713,
+         "per_net": {k: 1 for k in "abcdef"}}))
     return mod
 
 
@@ -70,6 +75,12 @@ def test_assembly_and_ordering(table, tmp_path):
     # 1.799 < 1.9044 < 2.0261 < 2.2045
     assert o["holds_vs_defaults_control"] is True
     assert o["students_beat_generous_control"] is True  # 1.799 < 1.9674
+    # round-5 big-3 analog rows: students-only mixture beats the best
+    # solo, and widening with the plain seeds dilutes
+    assert out["students_mixture"] == {"score": 1.7193, "members": 3}
+    assert out["wide_mixture"] == {"score": 1.7713, "members": 6}
+    assert o["students_mixture_beats_best_solo"] is True  # 1.7193 < 1.799
+    assert o["wide_mixture_dilutes"] is True  # 1.7713 > 1.7193
 
 
 def test_ordering_fails_when_student_above_mixture(table, tmp_path):
